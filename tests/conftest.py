@@ -1,0 +1,21 @@
+"""Test environment: force CPU backend with 8 virtual devices so sharding /
+collective tests run without TPU hardware, and keep goldens deterministic."""
+
+import os
+
+# must run before jax import anywhere in the test session
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(3008)

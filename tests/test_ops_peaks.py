@@ -1,0 +1,129 @@
+"""Golden tests: NMS / thresholding / mask2coords / coords2mask vs reference."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from stofnet_tpu.ops import (
+    nms1d,
+    threshold_scores,
+    mask2coords,
+    coords2mask,
+    get_amplitudes,
+)
+
+from tests import reference
+
+torch = pytest.importorskip("torch")
+reference.add_to_path()
+
+
+def make_heatmap(rng, b=4, l=512, peaks=5, noise=0.05):
+    """Sparse positive heatmap with noise floor, like a trained model output."""
+    hm = noise * rng.random((b, 1, l)).astype(np.float32)
+    for bi in range(b):
+        pos = rng.choice(np.arange(10, l - 10), size=peaks, replace=False)
+        hm[bi, 0, pos] = 1.0 + rng.random(peaks).astype(np.float32)
+    return hm
+
+
+@pytest.mark.parametrize("window", [20, 7, 31])
+def test_nms1d_matches_reference(rng, window):
+    from utils.mask2samples import nms_1d
+
+    hm = make_heatmap(rng)
+    ours = np.asarray(nms1d(jnp.asarray(hm), window))
+    ref = nms_1d(torch.from_numpy(hm), window).numpy()
+    np.testing.assert_allclose(ours, ref.reshape(ours.shape), rtol=1e-6)
+
+
+@pytest.mark.parametrize("th", [0.5, None])
+def test_thresholding_matches_reference(rng, th):
+    from utils.mask2samples import thresholding
+
+    hm = make_heatmap(rng)
+    ours = np.asarray(threshold_scores(jnp.asarray(hm), th))
+    ref = thresholding(torch.from_numpy(hm.copy()), th).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("th,upsample", [(0.5, 4), (None, 1), (0.9, 2)])
+def test_mask2coords_matches_reference(rng, th, upsample):
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    hm = make_heatmap(rng, b=6, l=1024, peaks=7)
+    ours = np.asarray(
+        mask2coords(jnp.asarray(hm), window_size=20, threshold=th,
+                    upsample_factor=upsample, max_echoes=32)
+    )
+    ref = ref_mask2coords(
+        torch.from_numpy(hm.copy()), window_size=20, threshold=th,
+        upsample_factor=upsample,
+    ).numpy()
+
+    # compare as sets of valid detections per row (both pad with zeros)
+    for bi in range(hm.shape[0]):
+        ours_v = np.sort(ours[bi][ours[bi] != 0])
+        ref_v = np.sort(ref[bi][ref[bi] != 0])
+        np.testing.assert_allclose(ours_v, ref_v, rtol=1e-6)
+
+
+def test_mask2coords_no_detections(rng):
+    hm = np.zeros((2, 1, 128), dtype=np.float32)
+    out = np.asarray(mask2coords(jnp.asarray(hm), 20, threshold=0.5, max_echoes=8))
+    assert (out == 0).all()
+
+
+def test_mask2coords_all_negative_matches_reference():
+    """All-negative heatmap: NMS zeros become the row max, so the reference's
+    per-row-max thresholding drops even the strongest (negative) peak and no
+    detection is reported. We must match that."""
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    hm = -np.ones((1, 1, 64), dtype=np.float32)
+    hm[0, 0, 17] = -0.1  # row max of the raw scores, still negative
+    ours = np.asarray(mask2coords(jnp.asarray(hm), 5, threshold=None, max_echoes=4))
+    ref = ref_mask2coords(torch.from_numpy(hm.copy()), 5, None).numpy()
+    assert (ours == 0).all()
+    assert (ref == 0).all()
+
+
+def test_coords2mask_matches_reference(rng):
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    b, l = 4, 256
+    coords = rng.integers(0, l, size=(b, 1, 3)).astype(np.int64)
+    coords[0, 0, 0] = -3  # negative -> parking slot 0 -> dropped
+    ours = np.asarray(coords2mask(jnp.asarray(coords), l))
+    ref = ref_coords2mask(
+        torch.from_numpy(coords.copy()), torch.zeros((b, 1, l))
+    ).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_roundtrip_coords_mask_coords(rng):
+    """coords2mask o mask2coords recovers the planted positions."""
+    b, l = 3, 512
+    pos = np.sort(rng.choice(np.arange(16, l - 1, 11), size=(4,), replace=False))
+    coords = np.tile(pos[None, None], (b, 1, 1)).astype(np.int64)
+    mask = coords2mask(jnp.asarray(coords), l)
+    rec = np.asarray(mask2coords(mask, window_size=3, threshold=0.5, max_echoes=8))
+    for bi in range(b):
+        got = np.sort(rec[bi][rec[bi] != 0]).astype(np.int64)
+        np.testing.assert_array_equal(got, pos)
+
+
+def test_nms_idempotent(rng):
+    hm = make_heatmap(rng)
+    once = nms1d(jnp.asarray(hm), 9)
+    twice = nms1d(once, 9)
+    np.testing.assert_array_equal(np.asarray(once), np.asarray(twice))
+
+
+def test_get_amplitudes(rng):
+    frames = rng.standard_normal((2, 64)).astype(np.float32)
+    samples = np.array([[3.2, 10.7], [0.0, 63.0]], dtype=np.float32)
+    amps = np.asarray(get_amplitudes(jnp.asarray(frames), jnp.asarray(samples)))
+    assert amps[0, 0] == frames[0, 3]
+    assert amps[0, 1] == frames[0, 11]
+    assert amps[1, 1] == frames[1, 63]
