@@ -1,0 +1,106 @@
+"""StofNet: 1-D super-resolution CNN for sub-sample echo localization.
+
+Architecture parity target: /root/reference/models/stofnet.py:11-117 —
+conv1(k9)+ReLU -> SemiGlobalBlock (80x pooled context pathway) ->
+conv2..conv11 (k7, leaky-ReLU, residual add every 2nd) -> conv12 + global
+residual -> conv_last(k3, features=upsample_factor) -> sample shuffle.
+
+TPU design notes: the network runs in (B, L, C) layout so the length axis
+tiles onto VPU lanes and every KxCinxCout conv lowers to MXU matmuls. All
+activations for L=8k fit VMEM many times over; XLA fuses the elementwise
+leaky-ReLU/residual chains into the convs. ``dtype`` selects the compute
+precision (bfloat16 recommended for inference; params stay f32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from stofnet_tpu.ops.shuffle import sample_shuffle
+
+
+class SemiGlobalBlock(nn.Module):
+    """Cheap long-range context: an 80x max-pooled, channel-expanded pathway
+    added back onto the features (reference models/stofnet.py:80-117)."""
+
+    features: int
+    sample_scale: int = 80
+    kernel_size: int = 5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, L, C)
+        feat = max(1, self.sample_scale // 10) * self.features
+        s = nn.Conv(feat, (self.kernel_size,), padding="SAME", dtype=self.dtype,
+                    name="contract_conv")(x)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = nn.max_pool(s, (self.sample_scale,), strides=(self.sample_scale,),
+                        padding="VALID")
+        s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype, name="expand_conv")(s)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, self.sample_scale, axis=1)  # nearest upsample
+
+        pad = max(0, x.shape[1] - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        if s.shape[1] != x.shape[1]:
+            raise ValueError(
+                f"SemiGlobalBlock length mismatch {s.shape[1]} vs {x.shape[1]}: "
+                f"input length minus pooled-upsampled length must be even "
+                f"(reference pads pad//2 on each side)."
+            )
+        return x + s
+
+
+class StofNet(nn.Module):
+    """Heatmap super-resolution network; input (B, 1, L), output (B, 1, L*r)."""
+
+    upsample_factor: int = 4
+    num_features: int = 64
+    num_blocks: int = 13
+    kernel_sizes: Sequence[int] = (9, 7, 3)
+    semi_global_scale: int = 80
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = jnp.transpose(x, (0, 2, 1))  # (B, L, 1): length-major for the MXU
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+
+        h = nn.relu(
+            nn.Conv(self.num_features, (self.kernel_sizes[0],), padding="SAME",
+                    dtype=self.dtype, name="conv1")(h)
+        )
+
+        if self.semi_global_scale != 1:
+            h = SemiGlobalBlock(self.num_features, self.semi_global_scale,
+                                dtype=self.dtype, name="semi_global_block")(h)
+
+        # residual schedule: adds at layers {3,5,...,num_blocks-2} plus the
+        # global skip into conv{num_blocks-1} (reference stofnet.py:37,51-62)
+        residual_layers = set(range(3, self.num_blocks - 1, 2))
+        res = res1 = h
+        for i in range(2, self.num_blocks - 1):
+            y = nn.Conv(self.num_features, (self.kernel_sizes[1],),
+                        padding="SAME", dtype=self.dtype, name=f"conv{i}")(h)
+            if i in residual_layers:
+                h = res + y
+                res = h
+            else:
+                h = jax.nn.leaky_relu(y, 0.01)
+
+        y = nn.Conv(self.num_features, (self.kernel_sizes[1],), padding="SAME",
+                    dtype=self.dtype, name=f"conv{self.num_blocks - 1}")(h)
+        h = res1 + y
+
+        h = nn.Conv(self.upsample_factor, (self.kernel_sizes[2],),
+                    padding="SAME", dtype=self.dtype, name="conv_last")(h)
+
+        h = jnp.transpose(h, (0, 2, 1))  # (B, r, L)
+        out = sample_shuffle(h, self.upsample_factor)  # (B, 1, L*r)
+        return out.astype(jnp.float32)

@@ -1,0 +1,95 @@
+"""Import reference PyTorch ``.pth`` state dicts into flax parameter trees.
+
+The reference ships trained checkpoints (/root/reference/ckpts) that are the
+only available ground-truth artifacts (datasets are absent from the
+snapshot); loading them verbatim is how we prove numerical parity.
+
+Key mapping is purely structural:
+  - torch ``a.b.weight`` of a Conv1d (O, I, K) -> params[a][b]['kernel'] (K, I, O)
+  - torch ``a.b.weight`` of a Linear (O, I)    -> params[a][b]['kernel'] (I, O)
+  - ``.bias`` copies through
+  - BatchNorm1d weight/bias -> scale/bias; running stats -> batch_stats tree
+
+torch is only needed to unpickle the file; it is imported lazily so the TPU
+runtime never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .pth state dict into plain numpy arrays (host-side, torch-cpu)."""
+    import torch  # lazy: only used for unpickling
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _assign(tree: Dict[str, Any], scope: Tuple[str, ...], leaf: str, value):
+    node = tree
+    for s in scope:
+        node = node.setdefault(s, {})
+    node[leaf] = value
+
+
+def state_dict_to_params(
+    sd: Dict[str, np.ndarray],
+    batchnorm_modules: Tuple[str, ...] = (),
+) -> Dict[str, Any]:
+    """Convert a torch state dict into {'params': ..., 'batch_stats': ...}.
+
+    Args:
+        sd: torch name -> numpy array.
+        batchnorm_modules: dotted module prefixes that are BatchNorm1d (their
+            weight/bias map to scale/bias instead of a conv/linear kernel).
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def is_bn(mod: str) -> bool:
+        return any(mod == b or mod.startswith(b + ".") for b in batchnorm_modules)
+
+    for key, val in sd.items():
+        *scope, leaf = key.split(".")
+        mod = ".".join(scope)
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf in ("running_mean", "running_var"):
+            name = "mean" if leaf == "running_mean" else "var"
+            _assign(batch_stats, tuple(scope), name, val)
+        elif is_bn(mod):
+            name = "scale" if leaf == "weight" else "bias"
+            _assign(params, tuple(scope), name, val)
+        elif leaf == "weight":
+            if val.ndim == 3:  # Conv1d (O, I, K) -> (K, I, O)
+                _assign(params, tuple(scope), "kernel", np.transpose(val, (2, 1, 0)))
+            elif val.ndim == 2:  # Linear (O, I) -> (I, O)
+                _assign(params, tuple(scope), "kernel", np.transpose(val, (1, 0)))
+            else:  # 1-D parameter tensors (e.g. SincConv low_hz_/band_hz_)
+                _assign(params, tuple(scope), "kernel", val)
+        else:
+            _assign(params, tuple(scope), leaf, val)
+
+    out: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def import_stofnet(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a StofNet .pth; returns (variables, config_overrides).
+
+    Detects the no-SemiGlobalBlock ablation (26-tensor checkpoints such as
+    clean-serenity / breezy-violet) and reports ``semi_global_scale=1``.
+    """
+    sd = load_torch_state_dict(path)
+    has_sgb = any(k.startswith("semi_global_block.") for k in sd)
+    variables = state_dict_to_params(sd)
+    overrides = {} if has_sgb else {"semi_global_scale": 1}
+    upsample = sd["conv_last.weight"].shape[0]
+    overrides["upsample_factor"] = int(upsample)
+    return variables, overrides
