@@ -1,0 +1,17 @@
+"""Mesh construction and sharding specs for multi-device execution."""
+
+from stofnet_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    batch_seq_sharding,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "batch_seq_sharding",
+    "replicate",
+    "shard_batch",
+]

@@ -1,0 +1,120 @@
+"""Jitted train / eval steps.
+
+Replaces the reference's straight-line loops (main.py:198-402) with pure
+functions: one traced+compiled step for training and one for evaluation.
+The full pipeline — model forward, peak decoding, loss, ToA metrics — runs
+on device with no host sync until the metrics tensor is fetched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stofnet_tpu.ops.gaussian import gaussian_kernel
+from stofnet_tpu.ops.peaks import mask2coords
+from stofnet_tpu.train.loss import heatmap_loss, regression_loss
+from stofnet_tpu.train.metrics import toa_rmse
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class LossConfig(NamedTuple):
+    """Loss hyperparameters (config.yaml:20-26 semantics)."""
+
+    kernel_size: int = 7
+    sigma: float = 1.0
+    mask_amplitude: float = 20.0
+    lambda_value: float = 1e-2
+    nms_win_size: int = 20
+    th: Optional[float] = None
+    etol: float = 1.0
+    upsample_factor: int = 4
+    max_echoes: int = 64
+    model_kind: str = "heatmap"  # "heatmap" | "regression"
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation,
+                    cfg: LossConfig):
+    """Build a jittable (state, frame, gt_sample, gt_true) -> (state, aux)."""
+    kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
+
+    def loss_fn(params, frame, gt_sample, gt_true):
+        pred = model.apply({"params": params}, frame)
+        if cfg.model_kind == "regression":
+            loss, _ = regression_loss(pred, gt_sample,
+                                      gt_true // cfg.upsample_factor)
+        else:
+            loss, _ = heatmap_loss(
+                pred, gt_true, kernel=kernel,
+                mask_amplitude=cfg.mask_amplitude,
+                lambda_value=cfg.lambda_value,
+            )
+        return loss
+
+    @jax.jit
+    def train_step(state: TrainState, frame, gt_sample, gt_true):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, frame, gt_sample, gt_true
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(model, cfg: LossConfig):
+    """Build a jittable eval step returning loss, decoded ToAs and metrics.
+
+    Mirrors main.py:291-347: forward -> mask2coords (heatmap models) or raw
+    regression output -> blurred-mask loss -> toa_rmse vs GT.
+    """
+    kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
+
+    @jax.jit
+    def eval_step(variables, frame, gt_sample, gt_true) -> Dict[str, jnp.ndarray]:
+        pred = model.apply(variables, frame)
+        if cfg.model_kind == "regression":
+            loss, _ = regression_loss(pred, gt_sample,
+                                      gt_true // cfg.upsample_factor)
+            es_sample = pred.reshape(pred.shape[0], -1)
+        else:
+            loss, _ = heatmap_loss(
+                pred, gt_true, kernel=kernel,
+                mask_amplitude=cfg.mask_amplitude,
+                lambda_value=cfg.lambda_value,
+            )
+            es_sample = mask2coords(
+                pred, window_size=cfg.nms_win_size, threshold=cfg.th,
+                upsample_factor=cfg.upsample_factor, max_echoes=cfg.max_echoes,
+            )
+        gs = gt_sample.reshape(gt_sample.shape[0], -1)
+        metrics = toa_rmse(gs, es_sample, tol=cfg.etol)
+        return {"loss": loss, "es_sample": es_sample, "toa_metrics": metrics,
+                "masks_pred": pred}
+
+    return eval_step
+
+
+def make_optimizer(lr: float = 5e-4, weight_decay: float = 1e-8,
+                   epochs: int = 80, steps_per_epoch: int = 1):
+    """AdamW + per-epoch cosine annealing (config.yaml:11-14, main.py:179-180).
+
+    torch steps CosineAnnealingLR once per epoch; we express the same
+    schedule per optimizer step by holding lr constant within an epoch.
+    """
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, epochs)
+        return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return optax.adamw(schedule, weight_decay=weight_decay), schedule

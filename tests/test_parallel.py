@@ -1,0 +1,124 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: dp/sp sharded forward
+and training step match single-device results."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stofnet_tpu.models import StofNet
+from stofnet_tpu.parallel import (
+    make_mesh,
+    batch_sharding,
+    batch_seq_sharding,
+    replicate,
+)
+from stofnet_tpu.train.steps import (
+    LossConfig,
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    make_eval_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    model = StofNet(upsample_factor=4, semi_global_scale=80)
+    length = 640
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+    rng = np.random.default_rng(0)
+    frame = rng.standard_normal((8, 1, length)).astype(np.float32)
+    return model, variables, frame
+
+
+def test_dp_forward_matches_single_device(setup):
+    model, variables, frame = setup
+    ref = np.asarray(model.apply(variables, jnp.asarray(frame)))
+
+    mesh = make_mesh(dp=8, sp=1)
+    sh = batch_sharding(mesh, 3)
+    x = jax.device_put(jnp.asarray(frame), sh)
+    out = jax.jit(model.apply, in_shardings=(replicate(mesh), sh))(variables, x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dp_sp_forward_matches_single_device(setup):
+    """Length-sharded conv stack: GSPMD halo exchange must be exact."""
+    model, variables, frame = setup
+    ref = np.asarray(model.apply(variables, jnp.asarray(frame)))
+
+    mesh = make_mesh(dp=4, sp=2)
+    sh = batch_seq_sharding(mesh, 3, seq_axis=2)
+    x = jax.device_put(jnp.asarray(frame), sh)
+    out = jax.jit(model.apply, in_shardings=(replicate(mesh), sh))(variables, x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    model, variables, frame = setup
+    up = 4
+    rng = np.random.default_rng(1)
+    gt_sample = rng.uniform(5, frame.shape[-1] - 5, size=(8, 1)).astype(np.float32)
+    gt_true = np.round(gt_sample[:, :, None] * up).astype(np.int32)
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=up)
+    train_step = make_train_step(model, optimizer, cfg)
+
+    params = variables["params"]
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    # single device
+    s1, aux1 = train_step(state, jnp.asarray(frame), jnp.asarray(gt_sample),
+                          jnp.asarray(gt_true))
+
+    # 4x2 mesh
+    mesh = make_mesh(dp=4, sp=2)
+    rep = replicate(mesh)
+    state_sh = jax.tree.map(lambda _: rep, state)
+    fsh = batch_seq_sharding(mesh, 3, seq_axis=2)
+    gssh = NamedSharding(mesh, P("dp", None))
+    gtsh = NamedSharding(mesh, P("dp", None, None))
+    step_jit = jax.jit(train_step, in_shardings=(state_sh, fsh, gssh, gtsh))
+    s2, aux2 = step_jit(
+        jax.device_put(state, state_sh),
+        jax.device_put(jnp.asarray(frame), fsh),
+        jax.device_put(jnp.asarray(gt_sample), gssh),
+        jax.device_put(jnp.asarray(gt_true), gtsh),
+    )
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    a = jax.tree.leaves(s1.params)
+    b = jax.tree.leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_eval_step_runs(setup):
+    model, variables, frame = setup
+    cfg = LossConfig(upsample_factor=4, max_echoes=8)
+    eval_step = make_eval_step(model, cfg)
+    gt_sample = jnp.full((8, 1), 100.0)
+    gt_true = jnp.round(gt_sample[:, :, None] * 4).astype(jnp.int32)
+    out = eval_step(variables, jnp.asarray(frame), gt_sample, gt_true)
+    assert out["toa_metrics"].shape == (8, 7)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 1, 3200)
