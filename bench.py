@@ -1,8 +1,21 @@
-"""Headline benchmark: StofNet inference throughput on one TPU chip.
+"""Headline benchmark: StofNet RF->ToF inference throughput on one TPU chip.
 
-Protocol mirrors the reference's timing definition (main.py:313-315: model
-forward only, per-waveform) at the BASELINE.json operating point: batch 128,
-L=8000 RF samples, upsample x4, reference ``different-armadillo`` weights.
+Operating point from BASELINE.json: batch 128, L=8000 RF samples, upsample
+x4, reference ``different-armadillo`` weights. We measure the full on-chip
+pipeline — model forward + NMS + peak decoding — with only the decoded
+(B, 8) ToF coordinates leaving the device (the reference times the forward
+alone, main.py:313-315, and then decodes on host; our fused pipeline does
+strictly more work per waveform).
+
+Timing is sustained-throughput over a device-resident stream: K batches are
+processed by one compiled ``lax.scan`` (weights loaded once, the serving
+pattern for a buffered RF stream) and all decoded coordinates are fetched.
+This measures the chip's actual pipeline rate; per-call measurements through
+this container's axon relay are bounded by its ~140 ms dispatch round-trip,
+which is a harness artifact, not hardware (logged to stderr for reference).
+NOTE: block_until_ready() does not actually synchronize through the axon
+relay — only host fetches do, hence explicit np.asarray on outputs.
+
 Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
 CPU PyTorch reference (6.9 waveforms/s, BASELINE.md).
 """
@@ -45,44 +58,82 @@ def main() -> None:
         overrides = {}
 
     rng = np.random.default_rng(3008)
-    x_host = rng.standard_normal((BATCH, 1, LENGTH)).astype(np.float32)
-    x_host /= np.abs(x_host).max(axis=-1, keepdims=True)
-    x = jax.device_put(jnp.asarray(x_host), dev)
 
-    model_f32 = StofNet(**overrides)
-    model_bf16 = StofNet(dtype=jnp.bfloat16, **overrides)
+    def make_input(batch):
+        x = rng.standard_normal((batch, 1, LENGTH)).astype(np.float32)
+        x /= np.abs(x).max(axis=-1, keepdims=True)
+        return jax.device_put(jnp.asarray(x), dev)
 
-    fwd_f32 = jax.jit(model_f32.apply)
-    fwd_bf16 = jax.jit(model_bf16.apply)
+    def make_pipeline(dtype):
+        model = StofNet(dtype=dtype, **overrides)
+
+        @jax.jit
+        def rf_to_tof(v, x):
+            heat = model.apply(v, x)
+            return mask2coords(heat, window_size=20, threshold=None,
+                               upsample_factor=4, max_echoes=8)
+
+        return rf_to_tof
+
+    x = make_input(BATCH)
 
     # decode-parity gate: bf16 must reproduce f32 ToA coords on this batch
-    h32 = fwd_f32(variables, x)
-    h16 = fwd_bf16(variables, x)
-    c32 = np.asarray(mask2coords(h32, 20, None, 4, max_echoes=8))
-    c16 = np.asarray(mask2coords(h16, 20, None, 4, max_echoes=8))
+    pipe_f32 = make_pipeline(None)
+    pipe_bf16 = make_pipeline(jnp.bfloat16)
+    c32 = np.asarray(pipe_f32(variables, x))
+    c16 = np.asarray(pipe_bf16(variables, x))
     agree = np.mean(np.abs(c32 - c16) <= 1.0)
-    use_bf16 = agree >= 0.99
+    use_bf16 = bool(agree >= 0.99)
     log(f"bf16/f32 coord agreement: {agree:.4f} -> using "
         f"{'bf16' if use_bf16 else 'f32'}")
+    pipe = pipe_bf16 if use_bf16 else pipe_f32
 
-    fwd = fwd_bf16 if use_bf16 else fwd_f32
-
-    for _ in range(3):  # warmup
-        fwd(variables, x).block_until_ready()
-
-    iters = 20
+    # per-call latency through the relay (harness-bound, stderr only)
+    np.asarray(pipe(variables, x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        fwd(variables, x).block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(5):
+        np.asarray(pipe(variables, x))
+    log(f"per-call latency B={BATCH} (relay-bound): "
+        f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
 
-    wf_s = BATCH / dt
-    log(f"forward {dt * 1e3:.2f} ms/batch(128) -> {wf_s:.1f} wf/s")
+    def stream_pipeline(dtype, batch, k):
+        model = StofNet(dtype=dtype, **overrides)
+
+        @jax.jit
+        def run(v, key):
+            xs = jax.random.normal(key, (k, batch, 1, LENGTH), jnp.float32)
+            xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+
+            def body(carry, xb):
+                heat = model.apply(v, xb)
+                coords = mask2coords(heat, window_size=20, threshold=None,
+                                     upsample_factor=4, max_echoes=8)
+                return carry, coords
+
+            _, cs = jax.lax.scan(body, 0, xs)
+            return cs
+
+        return run
+
+    dtype = jnp.bfloat16 if use_bf16 else None
+
+    def sustained_wf_s(batch, k):
+        run = stream_pipeline(dtype, batch, k)
+        key = jax.random.key(0)
+        np.asarray(run(variables, key))  # compile + warm
+        t0 = time.perf_counter()
+        cs = np.asarray(run(variables, key))
+        dt = time.perf_counter() - t0
+        assert cs.shape == (k, batch, 8)
+        return batch * k / dt, dt / k
+
+    wf_s, dt = sustained_wf_s(BATCH, 50)
+    log(f"stream B={BATCH} k=50: {dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s")
 
     print(json.dumps({
-        "metric": "stofnet_infer_throughput",
+        "metric": "stofnet_rf_to_tof_throughput",
         "value": round(wf_s, 1),
-        "unit": "waveforms/s/chip (B=128, L=8000, x4)",
+        "unit": "waveforms/s/chip (B=128, L=8000, x4, fused decode)",
         "vs_baseline": round(wf_s / BASELINE_WF_S, 2),
     }))
 
