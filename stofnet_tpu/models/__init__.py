@@ -6,5 +6,32 @@ identically.
 """
 
 from stofnet_tpu.models.stofnet import StofNet, SemiGlobalBlock
+from stofnet_tpu.models.edsr1d import EDSR1D
+from stofnet_tpu.models.espcn1d import ESPCN1D
+from stofnet_tpu.models.zonzini import ZonziniNetSmall, ZonziniNetLarge
+from stofnet_tpu.models.sincnet import SincNet, SincConv
+from stofnet_tpu.models.wave_unet import WaveUnet
+from stofnet_tpu.models.kuleshov import Kuleshov
+from stofnet_tpu.models.gradpeak import GradPeak
+from stofnet_tpu.models.registry import (
+    MODEL_NAMES,
+    build_model,
+    import_checkpoint,
+)
 
-__all__ = ["StofNet", "SemiGlobalBlock"]
+__all__ = [
+    "StofNet",
+    "SemiGlobalBlock",
+    "EDSR1D",
+    "ESPCN1D",
+    "ZonziniNetSmall",
+    "ZonziniNetLarge",
+    "SincNet",
+    "SincConv",
+    "WaveUnet",
+    "Kuleshov",
+    "GradPeak",
+    "MODEL_NAMES",
+    "build_model",
+    "import_checkpoint",
+]

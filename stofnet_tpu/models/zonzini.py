@@ -1,0 +1,50 @@
+"""Zonzini single-echo regression CNNs.
+
+Parity target: /root/reference/models/zonzini.py — stacks of
+(conv k10 stride2 VALID -> ReLU -> maxpool k2) followed by global average
+pooling and a 1024-wide MLP head emitting one scalar ToA per frame.
+Small (134,481 params, chirp / ckpt graceful-wave) vs Large (PALA).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class _ZonziniNet(nn.Module):
+    channels: Sequence[int]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):  # (B, 1, L) -> (B, 1)
+        h = jnp.transpose(x, (0, 2, 1))
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+        for i, ch in enumerate(self.channels):
+            h = nn.Conv(ch, (10,), strides=(2,), padding="VALID",
+                        dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.relu(h)
+            h = nn.max_pool(h, (2,), strides=(2,), padding="VALID")
+        h = jnp.mean(h, axis=1)  # global average pool over length
+        h = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(h))
+        h = nn.Dense(1, dtype=self.dtype, name="fc2")(h)
+        return h.astype(jnp.float32)
+
+
+class ZonziniNetSmall(_ZonziniNet):
+    channels: Sequence[int] = (16, 32, 64, 64)
+
+
+class ZonziniNetLarge(_ZonziniNet):
+    channels: Sequence[int] = (50, 100, 150, 200, 250)
+
+
+def rewrite_torch_key(key: str) -> str:
+    """torch 'conv_layers.{i}' -> flax 'conv{i}'."""
+    if key.startswith("conv_layers."):
+        parts = key.split(".")
+        return f"conv{parts[1]}." + ".".join(parts[2:])
+    return key

@@ -1,0 +1,116 @@
+"""Golden tests: vectorized GradPeak pipeline vs the reference."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from stofnet_tpu.ops.gradpeak import (
+    gradient1d,
+    gaussian_smooth,
+    grad_peak_detect,
+    toa_detect,
+)
+from stofnet_tpu.models import GradPeak
+
+from tests import reference
+
+torch = pytest.importorskip("torch")
+reference.add_to_path()
+
+
+def make_rf(rng, b=3, l=4000, echoes=(800, 2200, 3100), fs=40.0):
+    """RF bursts with gaussian envelopes at given sample positions."""
+    t = np.arange(l)
+    x = np.zeros((b, l), dtype=np.float32)
+    for bi in range(b):
+        for k, pos in enumerate(echoes):
+            p = pos + bi * 37
+            env = np.exp(-0.5 * ((t - p) / 40.0) ** 2) * (1.0 - 0.2 * k)
+            x[bi] += env * np.sin(2 * np.pi * t / fs)
+    x += 0.01 * rng.standard_normal((b, l)).astype(np.float32)
+    return x
+
+
+def test_gradient1d_matches_torch(rng):
+    y = rng.standard_normal((2, 100)).astype(np.float32)
+    for s in [1, 5]:
+        ours = np.asarray(gradient1d(jnp.asarray(y), s))
+        ref = torch.gradient(torch.from_numpy(y), spacing=s, dim=-1)[0].numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gaussian_smooth_matches_reference(rng):
+    from models.gradpeak import gaussian_filter_1d
+
+    y = rng.standard_normal((2, 300)).astype(np.float32)
+    sigma = (5 * 2 - 1) / 6
+    ours = np.asarray(gaussian_smooth(jnp.asarray(y), sigma))
+    ref = gaussian_filter_1d(torch.from_numpy(y), sigma).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def _ref_detect(x, **kw):
+    from models.gradpeak import grad_peak_detect as ref_gpd
+    from utils.hilbert import hilbert_transform
+
+    env = torch.abs(hilbert_transform(torch.from_numpy(x)))
+    return ref_gpd(env, **kw).numpy()
+
+
+@pytest.mark.parametrize("threshold,scale", [(None, 200.0), (0.002, 1.0)])
+def test_grad_peak_detect_matches_reference(rng, threshold, scale):
+    """threshold=None exercises the auto heuristic std**16*1.2e13, which only
+    lands in a useful range for realistic signal amplitudes (here scaled so
+    the heuristic threshold sits inside the gradient's dynamic range — on
+    weak signals it collapses to ~0 and every noise wiggle becomes an edge,
+    in the reference too)."""
+    from stofnet_tpu.ops.hilbert import hilbert_envelope
+
+    x = make_rf(rng) * scale
+    kw = dict(grad_step=5, ival_smin=10, ival_smax=500)
+    ref = _ref_detect(x, threshold=threshold, **kw)
+
+    env = hilbert_envelope(jnp.asarray(x))
+    ours = np.asarray(grad_peak_detect(jnp.asarray(env), threshold=threshold,
+                                       max_echoes=16, **kw))
+
+    assert ref.ndim == 3, "reference hit its empty-row abort; adjust signal"
+    for bi in range(x.shape[0]):
+        ref_pairs = ref[bi][ref[bi][:, 1] > 0]
+        our_pairs = ours[bi][ours[bi][:, 1] > 0]
+        assert our_pairs.shape[0] == ref_pairs.shape[0]
+        np.testing.assert_allclose(our_pairs[:, :2], ref_pairs[:, :2])
+        np.testing.assert_allclose(our_pairs[:, 2], ref_pairs[:, 2],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_toa_detect_echo_max(rng):
+    """Strongest-echo pruning keeps the highest-amplitude echo, time-sorted."""
+    x = make_rf(rng)
+    out = np.asarray(toa_detect(jnp.asarray(x), threshold=0.002,
+                                rescale_factor=6, echo_max=1, max_echoes=16))
+    # exactly one echo per row survives; it should be the strongest (first
+    # planted echo has the largest amplitude)
+    for bi in range(x.shape[0]):
+        valid = out[bi][out[bi][:, 1] > 0]
+        assert valid.shape[0] == 1
+        assert abs(valid[0, 1] - (800 + 37 * bi)) < 120
+
+
+def test_gradpeak_model_matches_reference(rng):
+    from models.gradpeak import GradPeak as TorchGradPeak
+
+    x = make_rf(rng)[:, None, :]  # (B, 1, L)
+    rescale = 10
+    tm = TorchGradPeak(threshold=None, rescale_factor=rescale, echo_max=1,
+                       onset_opt=True)
+    ref = tm(torch.from_numpy(x)).numpy()
+
+    gp = GradPeak(threshold=None, rescale_factor=rescale, echo_max=1,
+                  onset_opt=True, max_echoes=16)
+    ours = np.asarray(gp.apply({}, jnp.asarray(x)))
+
+    for bi in range(x.shape[0]):
+        ref_v = np.sort(ref[bi][ref[bi] > 0])
+        our_v = np.sort(ours[bi][ours[bi] > 0])
+        np.testing.assert_allclose(our_v, ref_v)
