@@ -1,0 +1,83 @@
+"""Golden tests: SVD clutter filter + DAS beamformer vs the reference
+(pure-numpy modules, imported directly)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from stofnet_tpu.ops.svd_filter import svd_filter
+from stofnet_tpu.ops.beamform import BeamformParams, bf_das, das_rx
+
+from tests import reference
+
+reference.add_to_path()
+
+
+class AttrDict(dict):
+    __getattr__ = dict.__getitem__
+    __setattr__ = dict.__setitem__
+
+
+@pytest.mark.parametrize("lo,hi", [(4, -1), (2, 10)])
+def test_svd_filter_matches_reference(rng, lo, hi):
+    from utils.svd_filter import svd_filter as ref_svd
+
+    z, x, t = 10, 8, 24
+    iq = (rng.standard_normal((z, x, t)) +
+          1j * rng.standard_normal((z, x, t))).astype(np.complex64)
+    # add a strong static clutter component for a realistic spectrum
+    clutter = (rng.standard_normal((z, x, 1)) * np.ones((1, 1, t))) * 10
+    iq = iq + clutter.astype(np.complex64)
+
+    ref = ref_svd(iq.astype(np.complex128), lo_cut=lo, hi_cut=hi)
+    ours = np.asarray(svd_filter(jnp.asarray(iq), lo_cut=lo, hi_cut=hi))
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
+
+
+def _make_acq(rng, n_angles=3, n_samples=256, k=16):
+    c, fs = 1540.0, 5e6
+    pitch = 3e-4
+    xe = (np.arange(k) - (k - 1) / 2) * pitch
+    angles = np.deg2rad([-5.0, 0.0, 5.0])[:n_angles]
+    sig = (rng.standard_normal((n_angles, n_samples, k)) +
+           1j * rng.standard_normal((n_angles, n_samples, k))).astype(np.complex128)
+    param = AttrDict(
+        param_x=np.linspace(xe[0], xe[-1], 20),
+        param_z=np.linspace(1e-3, 8e-3, 25),
+        xe=xe, c=c, fs=fs, t0=0.0, f0=fs / 4,
+        Nelements=k, angles_list=angles,
+    )
+    return sig, param
+
+
+def test_das_rx_matches_reference(rng):
+    from utils.beamform import bf_das_rx
+
+    sig, param = _make_acq(rng)
+    x, z = np.meshgrid(param["param_x"], param["param_z"])
+    param.theta = param.angles_list[1]
+    ref = bf_das_rx(sig[1], param, x, z).reshape(x.shape, order="F")
+
+    p = BeamformParams(xe=param.xe, c=param.c, fs=param.fs,
+                       t0=param.t0, f0=param.f0,
+                       angles_list=param.angles_list)
+    ours = np.asarray(
+        das_rx(jnp.asarray(sig[1].astype(np.complex64)), p,
+               float(param.theta), x.ravel(), z.ravel())
+    ).reshape(x.shape)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3 * np.abs(ref).max())
+
+
+def test_bf_das_matches_reference(rng):
+    from utils.beamform import bf_das as ref_bf_das
+
+    sig, param = _make_acq(rng)
+    ref = ref_bf_das(sig, param, compound_opt=True)
+
+    p = BeamformParams(xe=param.xe, c=param.c, fs=param.fs,
+                       t0=param.t0, f0=param.f0,
+                       angles_list=param.angles_list)
+    ours = np.asarray(bf_das(jnp.asarray(sig.astype(np.complex64)), p,
+                             param["param_x"], param["param_z"]))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=5e-3)
