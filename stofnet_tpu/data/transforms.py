@@ -1,0 +1,101 @@
+"""Host-side data augmentation.
+
+Parity targets: /root/reference/utils/transforms.py — NormalizeVol (:7-18),
+AddNoise (:21-38, SNR-scaled uniform noise), CropChannelData (:41-100,
+random crop window around the GT ToA with shift, zero-pad or resize). These
+run in the numpy input pipeline (per worker / per item), matching the
+reference's distributions; bitwise RNG parity with torch workers is a
+non-goal (SURVEY.md "hard parts").
+
+Every transform is ``(waveform, gt) -> (waveform, gt)``; gt may be None.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class NormalizeVol:
+    """Scale to unit peak amplitude."""
+
+    def __call__(self, waveform: np.ndarray, gt=None):
+        return waveform / np.abs(waveform).max(), gt
+
+
+class AddNoise:
+    """Add uniform noise at the given SNR [dB]; zero-mean for bipolar
+    signals, positive-mean for envelopes (the reference's (.5,2)/(0,1))."""
+
+    def __init__(self, snr: float = 40, rng: Optional[np.random.Generator] = None):
+        self.snr = snr
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, waveform: np.ndarray, gt=None):
+        mean, spread = (0.5, 2.0) if (waveform < 0).any() else (0.0, 1.0)
+        noise = spread * (self.rng.random(waveform.shape) - mean)
+        scale = (10 ** (-self.snr / 10)
+                 * (np.sum(waveform ** 2) / np.sum(noise ** 2))) ** 0.5
+        return waveform + noise * scale, gt
+
+
+class CropChannelData:
+    """Randomly crop a ``ratio`` window around the GT ToA (shifted within
+    bounds), then zero-pad (or resize) back to the original length; the GT
+    sample index shifts accordingly."""
+
+    def __init__(self, ratio: Optional[float] = None, resize: bool = False,
+                 rng: Optional[np.random.Generator] = None):
+        self.ratio = ratio
+        self.resize = resize
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, waveform: np.ndarray, gt: float):
+        ratio = self.ratio if self.ratio is not None else float(self.rng.random())
+        if not (0 < ratio < 1):
+            return waveform, gt
+
+        size = waveform.shape[0]
+        width = int(round(size * ratio))
+        ref = int(round(float(gt)))
+
+        start = max(0, ref - width // 2)
+        end = min(ref + width // 2, size)
+        if end == size:
+            start = end - width
+        if start == 0:
+            end = width
+
+        # random shift keeping the window around the reference index
+        max_dist = min(ref - start, end - ref)
+        lo = -min(start, max_dist // 2)
+        hi = min(size - end, max_dist // 2)
+        shift = int(self.rng.integers(lo, hi)) if hi > lo else lo
+        start += shift
+        end += shift
+
+        cropped = waveform[start:end]
+        gt = gt - start
+
+        if self.resize:
+            factor = size / cropped.shape[0]
+            x = np.linspace(0, cropped.shape[0], cropped.shape[0])
+            t = np.linspace(0, cropped.shape[0], size)
+            cropped = np.interp(t, x, cropped)
+            gt = gt * factor
+        else:
+            cropped = np.pad(cropped, (0, size - cropped.shape[0]))
+        return cropped, gt
+
+
+class Compose:
+    """Apply transforms in order, threading (waveform, gt)."""
+
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, waveform, gt=None):
+        for t in self.transforms:
+            waveform, gt = t(waveform, gt)
+        return waveform, gt

@@ -1,0 +1,113 @@
+"""Data layer: transforms distributions, synthetic dataset round-trip,
+ChirpDataset contract, loader/split behavior."""
+
+import numpy as np
+import pytest
+
+from stofnet_tpu.data import (
+    NormalizeVol,
+    AddNoise,
+    CropChannelData,
+    ChirpDataset,
+    DataLoader,
+    split_dataset,
+    generate_chirp_dataset,
+)
+from stofnet_tpu.data.transforms import Compose
+
+
+@pytest.fixture(scope="module")
+def chirp_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("chirp") / "stof_chirp101_dataset"
+    return generate_chirp_dataset(root)
+
+
+def test_normalize_vol(rng):
+    w = rng.standard_normal(100) * 7
+    out, gt = NormalizeVol()(w, 5.0)
+    assert np.abs(out).max() == pytest.approx(1.0)
+    assert gt == 5.0
+
+
+def test_add_noise_snr(rng):
+    w = np.sin(np.linspace(0, 40 * np.pi, 4000))
+    snr = 20.0
+    out, _ = AddNoise(snr, rng=rng)(w, None)
+    noise = out - w
+    measured = 10 * np.log10(np.sum(w ** 2) / np.sum(noise ** 2))
+    assert measured == pytest.approx(snr, abs=0.5)
+
+
+def test_add_noise_envelope_positive_mean(rng):
+    w = np.abs(np.sin(np.linspace(0, 10, 500))) + 0.1
+    out, _ = AddNoise(30, rng=rng)(w, None)
+    assert out.shape == w.shape
+
+
+def test_crop_channel_data(rng):
+    w = np.zeros(1000)
+    gt = 430.0
+    w[int(gt)] = 1.0
+    for _ in range(10):
+        out, new_gt = CropChannelData(ratio=0.75, rng=rng)(w.copy(), gt)
+        assert out.shape == w.shape  # padded back to original length
+        k = int(round(new_gt))
+        assert out[k] == 1.0  # GT index still points at the spike
+
+
+def test_synthetic_dataset_contract(chirp_root):
+    ds = ChirpDataset(chirp_root, split_dirname="test", rf_scale_factor=10)
+    assert len(ds) == 2 * 4  # classes x positions x n_test_per_pos
+    assert ds.get_channel_num() == 1
+    assert ds.get_sample_num() == 800
+
+    env, rf, rf_gt, gt_sample, gt_pos, label = ds[0]
+    assert rf.shape == (8000,)
+    assert env.shape == (8000,)
+    assert 0 < gt_sample < 8000
+    assert label in ("cuboid", "cylinder")
+
+    # GT sample index must match the planted echo's envelope peak closely
+    peak = np.abs(rf_gt := np.asarray(rf_gt)).argmax()
+    assert abs(peak - gt_sample) < 40
+
+
+def test_transforms_in_dataset(chirp_root, rng):
+    tf = Compose([NormalizeVol(), CropChannelData(ratio=0.75, rng=rng),
+                  AddNoise(30, rng=rng)])
+    ds = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=10,
+                      transforms=tf)
+    env, rf, rf_gt, gt_sample, _, _ = ds[0]
+    assert rf.shape == (8000,)
+    assert np.isfinite(rf).all()
+    assert 0 < gt_sample < 8000
+
+
+def test_split_and_loader(chirp_root):
+    ds = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4)
+    train_idx, val_idx = split_dataset(len(ds), 0.2, seed=3008)
+    assert len(train_idx) + len(val_idx) == len(ds)
+    assert set(train_idx) & set(val_idx) == set()
+
+    dl = DataLoader(ds, train_idx, batch_size=4, shuffle=True, seed=1)
+    batch = next(iter(dl))
+    env, rf, rf_gt, gt_sample, gt_pos, labels = batch
+    assert rf.shape == (4, 3200)
+    assert gt_sample.shape == (4,)
+    assert isinstance(labels, list) and len(labels) == 4
+
+    # drop_last semantics
+    dl2 = DataLoader(ds, batch_size=5, drop_last=True)
+    assert len(dl2) == len(ds) // 5
+
+
+def test_prefetch_to_device(chirp_root):
+    from stofnet_tpu.data.loader import prefetch_to_device
+
+    ds = ChirpDataset(chirp_root, split_dirname="test", rf_scale_factor=4)
+    dl = DataLoader(ds, batch_size=2)
+    n = 0
+    for batch in prefetch_to_device(dl):
+        n += 1
+        assert batch[1].shape[0] <= 2
+    assert n == len(dl)
