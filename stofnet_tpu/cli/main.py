@@ -1,0 +1,362 @@
+"""Train / evaluate driver.
+
+Functional replacement for the reference's 433-line straight-line script
+(main.py): ``python -m stofnet_tpu.cli.main key=value ...`` with the same
+config keys and semantics — ``evaluate=True`` runs the benchmark protocol,
+otherwise the training recipe (AdamW + cosine anneal + early stopping).
+All device work happens in two jitted steps (train_step / eval_step); the
+host loop only feeds batches and logs.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from stofnet_tpu.utils.config import Config, load_config, merge_cli
+from stofnet_tpu.utils.logging import MetricsLogger, make_run_name
+
+DEFAULT_CONFIG = Path(__file__).parent / "config.yaml"
+
+
+def _nanmean(x) -> float:
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    return float(x[ok].mean()) if ok.any() else float("nan")
+
+
+def dataset_kind(data_dir: str) -> str:
+    d = str(data_dir).lower()
+    if "pala" in d:
+        return "pala"
+    if "rat" in d:
+        return "rat"
+    if "chirp" in d:
+        return "chirp"
+    raise ValueError(f"no dataset class for data path {data_dir!r}")
+
+
+def build_dataset(cfg: Config):
+    """Instantiate the dataset + transforms; returns (dataset, info dict)."""
+    from stofnet_tpu.data.transforms import (
+        AddNoise, Compose, CropChannelData, NormalizeVol,
+    )
+
+    kind = dataset_kind(cfg.data_dir)
+    rng = np.random.default_rng(cfg.seed)
+    tf = [NormalizeVol()]
+    if kind == "chirp":
+        from stofnet_tpu.data.chirp import ChirpDataset
+
+        if not cfg.evaluate:
+            tf += [CropChannelData(ratio=cfg.crop_ratio, rng=rng),
+                   AddNoise(snr=cfg.snr_db, rng=rng)]
+        ds = ChirpDataset(
+            root_dir=cfg.data_dir,
+            split_dirname="test" if cfg.evaluate else "train",
+            rf_scale_factor=cfg.rf_scale_factor,
+            transforms=Compose(tf),
+        )
+        info = {"kind": kind, "fs": float(ds.cfg["fhz_sample"]),
+                "c": float(ds.cfg["speed_of_sound"]),
+                "channel_num": ds.get_channel_num(),
+                "sample_num": ds.get_sample_num()}
+    else:
+        from stofnet_tpu.data.pala import PalaDatasetRf
+
+        if not cfg.evaluate:
+            tf += [AddNoise(snr=cfg.snr_db, rng=rng)]
+        ds = PalaDatasetRf(
+            dataset_path=cfg.data_dir,
+            sequences=cfg.sequences,
+            rescale_factor=cfg.rf_scale_factor,
+            ch_gap=cfg.ch_gap,
+            angle_threshold=cfg.angle_threshold,
+            clutter_db=cfg.clutter_db,
+            temporal_filter_opt=(kind == "rat"),
+            pow_law_opt=cfg.pow_law_opt,
+            transforms=Compose(tf),
+        )
+        info = {"kind": kind, "fs": float(ds.get_key("fs")),
+                "c": float(ds.get_key("c")),
+                "wavelength": float(ds.get_key("wavelength")),
+                "channel_num": ds.get_channel_num(),
+                "sample_num": ds.get_sample_num()}
+    return ds, info
+
+
+def batch_to_arrays(batch, kind: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract (frame (B',1,L), gt_sample (B',G)) from a dataset batch,
+    flattening PALA's channel dim into the batch like main.py:208-210."""
+    if kind == "chirp":
+        _, rf, _, gt_sample, _, _ = batch
+        frame = rf[:, None, :].astype(np.float32)
+        gt = gt_sample.reshape(-1, 1).astype(np.float32)
+    else:
+        frame_all, gt_all = batch[0], batch[2]
+        wv_idx = min(1, frame_all.shape[1] - 1)
+        fr = frame_all[:, wv_idx]  # (B, C, L)
+        frame = fr.reshape(-1, fr.shape[-1])[:, None, :].astype(np.float32)
+        g = gt_all[:, wv_idx]  # (B, C, E)
+        gt = g.reshape(-1, g.shape[-1]).astype(np.float32)
+    gt = np.where(np.isnan(gt) | (gt <= 0), 0.0, gt)
+    return frame, gt
+
+
+def _loss_config(cfg: Config, model_kind: str):
+    from stofnet_tpu.train.steps import LossConfig
+
+    return LossConfig(
+        kernel_size=int(cfg.kernel_size), sigma=float(cfg.sigma),
+        mask_amplitude=float(cfg.mask_amplitude),
+        lambda_value=float(cfg.lambda_value),
+        nms_win_size=int(cfg.nms_win_size),
+        th=None if cfg.th in (None, "Null") else float(cfg.th),
+        etol=float(cfg.etol), upsample_factor=int(cfg.upsample_factor),
+        max_echoes=int(cfg.get("max_echoes", 64)), model_kind=model_kind,
+    )
+
+
+def setup(cfg: Config):
+    """Common setup: seed, dataset, model, variables. Returns a dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.models import build_model
+    from stofnet_tpu.train.checkpoint import (
+        find_checkpoint, load_model_variables,
+    )
+
+    pyrandom.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
+    ds, info = build_dataset(cfg)
+    kind = info["kind"]
+
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
+    model, updates = build_model(
+        cfg.model, dataset_kind=kind, upsample_factor=int(cfg.upsample_factor),
+        sample_num=info["sample_num"], rf_scale_factor=int(cfg.rf_scale_factor),
+        fs=info.get("fs"),
+        th=None if cfg.th in (None, "Null") else float(cfg.th), dtype=dtype,
+        semi_global_scale=int(cfg.get("semi_global_scale", 80)),
+    )
+    for k, v in updates.items():
+        cfg[k] = v
+    if "rf_scale_factor" in updates:  # unet folds upsampling into the input
+        ds, info = build_dataset(cfg)
+
+    model_kind = ("regression" if cfg.model.lower() in ("zonzini", "gradpeak")
+                  else "heatmap")
+
+    variables = None
+    if cfg.model.lower() != "gradpeak":
+        if cfg.model_file:
+            path = find_checkpoint(cfg.ckpt_dir, cfg.model_file)
+            if path is None:
+                path = find_checkpoint("/root/reference/ckpts", cfg.model_file)
+            if path is not None:
+                n_layers = 2 if kind == "chirp" else 10
+                variables = load_model_variables(cfg.model, path, n_layers)
+                print(f"loaded checkpoint {path}", file=sys.stderr)
+        if variables is None:
+            L = info["sample_num"] * int(cfg.rf_scale_factor)
+            variables = model.init(jax.random.key(int(cfg.seed)),
+                                   jnp.zeros((1, 1, L)))
+    else:
+        variables = {"params": {}}
+
+    return {"dataset": ds, "info": info, "model": model,
+            "variables": variables, "model_kind": model_kind, "cfg": cfg}
+
+
+def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
+    """Benchmark protocol: whole test split, metrics per frame
+    (main.py:291-421 semantics)."""
+    import jax.numpy as jnp
+
+    from stofnet_tpu.data.loader import DataLoader
+    from stofnet_tpu.train.steps import make_eval_step
+    from stofnet_tpu.train.threshold import find_threshold
+
+    cfg = ctx["cfg"]
+    ds, info = ctx["dataset"], ctx["info"]
+    kind = info["kind"]
+    eval_step = make_eval_step(ctx["model"], _loss_config(cfg, ctx["model_kind"]))
+
+    loader = DataLoader(ds, batch_size=int(cfg.batch_size), drop_last=True)
+    up = int(cfg.upsample_factor)
+
+    total = {"loss": [], "distance": [], "jaccard": [], "time": []}
+    val_step = 0
+    for batch_idx, batch in enumerate(loader):
+        frame, gt = batch_to_arrays(batch, kind)
+        gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+
+        tic = time.perf_counter()
+        out = eval_step(ctx["variables"], jnp.asarray(frame),
+                        jnp.asarray(gt), jnp.asarray(gt_true))
+        metrics = np.asarray(out["toa_metrics"])  # forces completion
+        toc = time.perf_counter() - tic
+
+        loss = float(out["loss"])
+        val_step += 1
+        infer_time = toc / frame.shape[0]
+
+        ideal_th = 0.0
+        if ctx["model_kind"] == "heatmap" and batch_idx % 20 == 0:
+            from stofnet_tpu.ops.peaks import coords2mask
+
+            pred = np.asarray(out["masks_pred"])
+            masks_true = np.asarray(
+                coords2mask(jnp.asarray(gt_true), pred.shape[-1]))
+            ideal_th = find_threshold(pred, masks_true)
+
+        for k, row in enumerate(metrics):
+            total["distance"].append(row[0])
+            total["jaccard"].append(row[3])
+            total["time"].append(infer_time)
+        total["loss"].append(loss)
+
+        logger.log({"event": "val", "val_step": val_step, "val_loss": loss,
+                    "val_ideal_threshold": ideal_th,
+                    "inference_time": infer_time,
+                    "val_toa_distance": _nanmean(metrics[:, 0]),
+                    "val_toa_precision": _nanmean(metrics[:, 1]),
+                    "val_toa_recall": _nanmean(metrics[:, 2]),
+                    "val_toa_jaccard": _nanmean(metrics[:, 3])})
+
+    dist = np.asarray(total["distance"], dtype=np.float64)
+    summary = {
+        "model_name": cfg.model,
+        "total_jaccard": _nanmean(total["jaccard"]),
+        "total_inference_time": _nanmean(total["time"]),
+        "total_distance_mean": _nanmean(dist),
+        "total_distance_std": float(np.std(dist[~np.isnan(dist)]))
+        if (~np.isnan(dist)).any() else float("nan"),
+        "val_loss": float(np.mean(total["loss"])) if total["loss"] else 0.0,
+    }
+    logger.set_summary(**summary)
+    return summary
+
+
+def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.data.loader import DataLoader, split_dataset
+    from stofnet_tpu.train.early_stop import EarlyStopping
+    from stofnet_tpu.train.checkpoint import save_checkpoint
+    from stofnet_tpu.train.steps import (
+        TrainState, make_eval_step, make_optimizer, make_train_step,
+    )
+
+    cfg = ctx["cfg"]
+    ds, info = ctx["dataset"], ctx["info"]
+    kind = info["kind"]
+    up = int(cfg.upsample_factor)
+
+    train_idx, val_idx = split_dataset(len(ds), 0.2, seed=int(cfg.seed))
+    train_loader = DataLoader(ds, train_idx, batch_size=int(cfg.batch_size),
+                              shuffle=True, drop_last=True, seed=int(cfg.seed))
+    val_loader = DataLoader(ds, val_idx, batch_size=int(cfg.batch_size),
+                            drop_last=True)
+
+    lcfg = _loss_config(cfg, ctx["model_kind"])
+    optimizer, schedule = make_optimizer(
+        lr=float(cfg.lr), weight_decay=float(cfg.weight_decay),
+        epochs=int(cfg.epochs), steps_per_epoch=max(1, len(train_loader)))
+    train_step = make_train_step(ctx["model"], optimizer, lcfg)
+    eval_step = make_eval_step(ctx["model"], lcfg)
+
+    params = ctx["variables"]["params"]
+    state = TrainState(params, optimizer.init(params),
+                       jnp.zeros((), jnp.int32))
+    early = EarlyStopping(patience=int(cfg.patience), delta=float(cfg.delta))
+
+    train_global = 0
+    epochs_run = 0
+    val_loss = float("inf")
+    for epoch in range(int(cfg.epochs)):
+        epoch_loss = 0.0
+        n_items = 0
+        for batch in train_loader:
+            frame, gt = batch_to_arrays(batch, kind)
+            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+            state, aux = train_step(state, jnp.asarray(frame),
+                                    jnp.asarray(gt), jnp.asarray(gt_true))
+            loss = float(aux["loss"])
+            epoch_loss += loss * frame.shape[0]
+            n_items += frame.shape[0]
+            train_global += 1
+            logger.log({"event": "train", "train_step": train_global,
+                        "train_loss": loss})
+        epochs_run = epoch + 1
+
+        # validation
+        vlosses = []
+        for batch in val_loader:
+            frame, gt = batch_to_arrays(batch, kind)
+            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+            out = eval_step({"params": state.params}, jnp.asarray(frame),
+                            jnp.asarray(gt), jnp.asarray(gt_true))
+            vlosses.append(float(out["loss"]))
+        val_loss = float(np.sum(vlosses))
+        logger.log({"event": "epoch", "epoch": epoch,
+                    "train_loss": epoch_loss / max(n_items, 1),
+                    "val_loss": val_loss,
+                    "lr": float(schedule(state.step))})
+
+        if early(val_loss):
+            print(f"Finished at epoch: {epoch}", file=sys.stderr)
+            break
+
+    ckpt_dir = Path(cfg.ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    name = (f"{logger.run_name}_rf-scale{cfg.rf_scale_factor}"
+            f"_epoch_{epochs_run}")
+    path = save_checkpoint(ckpt_dir / name, {
+        "variables": {"params": jax.tree.map(np.asarray, state.params)},
+        "step": int(state.step),
+    })
+    logger.set_summary(checkpoint=str(path), final_val_loss=val_loss,
+                       epochs=epochs_run)
+    return {"val_loss": val_loss, "checkpoint": str(path),
+            "epochs": epochs_run}
+
+
+def run(cfg: Config) -> Dict[str, Any]:
+    ctx = setup(cfg)
+    import jax
+
+    n_params = sum(int(np.prod(np.shape(p)))
+                   for p in jax.tree.leaves(ctx["variables"]))
+    run_name = make_run_name(int(cfg.seed) + int(time.time()) % 100000)
+    logger = MetricsLogger(cfg.get("run_dir", "runs"), run_name,
+                           config=dict(cfg),
+                           wandb_group=cfg.logging if cfg.logging else None)
+    logger.set_summary(model_name=cfg.model, total_parameters=n_params)
+    try:
+        if cfg.evaluate:
+            result = evaluate(ctx, logger)
+        else:
+            result = train(ctx, logger)
+    finally:
+        logger.finish()
+    print(f"run {run_name}: " + ", ".join(
+        f"{k}={v}" for k, v in result.items()), file=sys.stderr)
+    return {"run_name": run_name, **result}
+
+
+def main(argv: Optional[list] = None) -> None:
+    cfg = merge_cli(load_config(DEFAULT_CONFIG), argv)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

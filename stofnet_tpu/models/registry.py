@@ -40,13 +40,16 @@ def build_model(
     fs: Optional[float] = None,
     th: Optional[float] = None,
     dtype: Any = None,
+    semi_global_scale: int = 80,
 ) -> Tuple[Any, Dict[str, Any]]:
     name = name.lower()
     chirp = dataset_kind == "chirp"
     updates: Dict[str, Any] = {}
 
     if name == "stofnet":
-        return StofNet(upsample_factor=upsample_factor, dtype=dtype), updates
+        return StofNet(upsample_factor=upsample_factor,
+                       semi_global_scale=semi_global_scale,
+                       dtype=dtype), updates
     if name == "zonzini":
         cls = ZonziniNetSmall if chirp else ZonziniNetLarge
         return cls(dtype=dtype), updates

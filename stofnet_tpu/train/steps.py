@@ -50,8 +50,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     def loss_fn(params, frame, gt_sample, gt_true):
         pred = model.apply({"params": params}, frame)
         if cfg.model_kind == "regression":
-            loss, _ = regression_loss(pred, gt_sample,
-                                      gt_true // cfg.upsample_factor)
+            gt_units = gt_true.reshape(gt_sample.shape) // cfg.upsample_factor
+            loss, _ = regression_loss(pred, gt_sample, gt_units)
         else:
             loss, _ = heatmap_loss(
                 pred, gt_true, kernel=kernel,
@@ -85,8 +85,8 @@ def make_eval_step(model, cfg: LossConfig):
     def eval_step(variables, frame, gt_sample, gt_true) -> Dict[str, jnp.ndarray]:
         pred = model.apply(variables, frame)
         if cfg.model_kind == "regression":
-            loss, _ = regression_loss(pred, gt_sample,
-                                      gt_true // cfg.upsample_factor)
+            gt_units = gt_true.reshape(gt_sample.shape) // cfg.upsample_factor
+            loss, _ = regression_loss(pred, gt_sample, gt_units)
             es_sample = pred.reshape(pred.shape[0], -1)
         else:
             loss, _ = heatmap_loss(

@@ -1,0 +1,124 @@
+"""End-to-end driver tests: evaluate + train on synthetic data through the
+CLI entry point, chirp and PALA paths."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
+from stofnet_tpu.data.synthetic import generate_chirp_dataset
+from stofnet_tpu.data.pala import PalaDatasetRf, generate_pala_dataset
+from stofnet_tpu.utils.config import load_config
+
+from tests import reference
+
+
+@pytest.fixture(scope="module")
+def chirp_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli") / "stof_chirp101_dataset"
+    return generate_chirp_dataset(root, n_positions=3, n_train_per_pos=4,
+                                  n_test_per_pos=2, sample_num=400)
+
+
+@pytest.fixture(scope="module")
+def pala_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli") / "pala_synth"
+    return generate_pala_dataset(root)
+
+
+def base_cfg(tmp_path, **over):
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(run_dir=str(tmp_path / "runs"),
+               ckpt_dir=str(tmp_path / "ckpts"))
+    cfg.update(over)
+    return cfg
+
+
+def test_evaluate_stofnet_reference_ckpt(chirp_root, tmp_path):
+    """Full chirp benchmark protocol with the shipped armadillo weights."""
+    if reference.ckpt_path("different-armadillo") is None:
+        pytest.skip("reference ckpts unavailable")
+    cfg = base_cfg(
+        tmp_path, data_dir=str(chirp_root), evaluate=True, batch_size=2,
+        model="stofnet", model_file="different-armadillo", th=None,
+        rf_scale_factor=10, max_echoes=8, etol=1600,  # tol is SQUARED samples
+        ckpt_dir="/root/reference/ckpts",
+    )
+    out = run(cfg)
+    # armadillo was trained on the (missing) real chirp101 hardware pulses;
+    # on our synthetic stand-in we assert the pipeline wiring: finite loss,
+    # detections within 40 samples of GT (the net localizes the synthetic
+    # echo with a small onset-convention bias)
+    assert np.isfinite(out["val_loss"])
+    assert np.isfinite(out["total_distance_mean"])
+    assert out["total_distance_mean"] < 40.0
+
+    runs = list(Path(cfg.run_dir).glob("*_summary.json"))
+    assert runs, "summary JSON written"
+    summary = json.loads(runs[0].read_text())
+    assert summary["model_name"] == "stofnet"
+    assert summary["total_parameters"] == 645_764
+
+
+def test_evaluate_gradpeak(chirp_root, tmp_path):
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                   batch_size=2, model="gradpeak", th=None,
+                   rf_scale_factor=10, max_echoes=8, etol=14400)
+    out = run(cfg)
+    assert np.isfinite(out["total_distance_mean"])
+
+
+def test_train_stofnet_short(chirp_root, tmp_path):
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="stofnet", epochs=2,
+                   rf_scale_factor=4, max_echoes=8, crop_ratio=0.75)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    assert Path(out["checkpoint"]).exists()
+    assert out["epochs"] == 2
+
+
+def test_train_then_eval_roundtrip(chirp_root, tmp_path):
+    """A checkpoint written by train loads back for evaluate."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8)
+    out = run(cfg)
+    ckpt_name = Path(out["checkpoint"]).name
+    cfg2 = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                    batch_size=2, model="espcn", model_file=ckpt_name,
+                    rf_scale_factor=4, max_echoes=8, th=None)
+    out2 = run(cfg2)
+    assert np.isfinite(out2["val_loss"])
+
+
+def test_pala_dataset_contract(pala_root):
+    ds = PalaDatasetRf(pala_root, sequences=[0, 1], rescale_factor=2,
+                       ch_gap=2, angle_threshold=45)
+    assert len(ds) == 8  # 2 sequences x 4 frames
+    assert ds.get_channel_num() == 8
+    assert ds.get_sample_num() == 400
+    assert float(ds.get_key("wavelength")) == pytest.approx(1540.0 / 1.25e6)
+
+    frame, _, gt, _, _, _ = ds[0]
+    assert frame.shape == (3, 8, 800)
+    assert gt.shape == (3, 8, 32)
+    valid = gt[gt > 0]
+    assert valid.size > 0 and valid.max() < 800
+
+    # GT delay must coincide with an actual RF pulse peak on that channel
+    w, c = 1, 4
+    g = sorted(v for v in gt[w, c] if v > 0)[0]
+    seg = np.abs(frame[w, c][int(g) - 12: int(g) + 12])
+    assert seg.max() > 0.5 * np.abs(frame[w, c]).max()
+
+
+def test_evaluate_pala_gradpeak(pala_root, tmp_path):
+    cfg = base_cfg(tmp_path, data_dir=str(pala_root) + "/", evaluate=True,
+                   batch_size=2, model="gradpeak", th=1e-5,
+                   rf_scale_factor=2, ch_gap=2, sequences=[0],
+                   max_echoes=16, etol=4)
+    out = run(cfg)
+    assert np.isfinite(out["total_distance_mean"])
