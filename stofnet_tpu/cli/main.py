@@ -206,7 +206,9 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
 
         loss = float(out["loss"])
         val_step += 1
-        infer_time = toc / frame.shape[0]
+        # first batch's wall time is dominated by jit compilation; record it
+        # as NaN so the nan-mean summary reflects steady-state throughput
+        infer_time = (toc / frame.shape[0]) if batch_idx > 0 else float("nan")
 
         ideal_th = 0.0
         if ctx["model_kind"] == "heatmap" and batch_idx % 20 == 0:

@@ -1,0 +1,162 @@
+"""Benchmark sweep runner + results table generation.
+
+Replaces the reference's SLURM array scripts (bash_scripts/*.sh, one GPU job
+per (model, ckpt, threshold) row) and its W&B-scraping table generator
+(utils/load_table_contents.py) with a single in-process sweep: rows run
+sequentially on the chip (each model's eval is itself batched/jitted), and
+the results table is emitted locally as markdown + LaTeX in the reference's
+schema: RMSE [sample] ±std, Jaccard [%], Weights [k#], Time [ms].
+
+Usage:
+    python -m stofnet_tpu.cli.sweep sweep=chirp data_dir=... [key=value ...]
+    python -m stofnet_tpu.cli.sweep rows='[[stofnet,different-armadillo,null]]'
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+from stofnet_tpu.utils.config import Config, load_config, merge_cli
+from stofnet_tpu.cli.main import DEFAULT_CONFIG
+
+# the reference's sweep rows (bash_scripts/array_*_params.txt)
+SWEEPS: Dict[str, List[List[Any]]] = {
+    "chirp": [  # model, ckpt-prefix, threshold (rf_scale 10, etol 1)
+        ["stofnet", "different-armadillo", None],
+        ["stofnet", "clean-serenity", None],
+        ["edsr", "proud-cherry", None],
+        ["sincnet", "pretty-brook", None],
+        ["espcn", "vital-puddle", None],
+        ["zonzini", "graceful-wave", None],
+        ["gradpeak", None, None],
+    ],
+    "pala": [  # rf_scale 20 (array_pala_params.txt)
+        ["stofnet", "graceful-snow", 0.015],
+        ["stofnet", "breezy-violet", 2.3],
+        ["edsr", "snowy-dragon", 1.5],
+        ["sincnet", "noble-monkey", 4.2],
+        ["espcn", "wobbly-sponge", 0.2],
+        ["zonzini", "polar-sun", None],
+        ["gradpeak", None, 1e-5],
+    ],
+}
+
+CITATIONS = {  # row labels used in the reference's paper table
+    "stofnet": "StofNet",
+    "edsr": "EDSR~\\cite{lim2017enhanced}",
+    "sincnet": "SincNet~\\cite{ravanelli2018speaker}",
+    "espcn": "ESPCN~\\cite{shi2016real}",
+    "zonzini": "Zonzini~\\cite{zonzini2022machine}",
+    "gradpeak": "GradPeak",
+    "kuleshov": "Kuleshov~\\cite{kuleshov2017audio}",
+    "unet": "Wave-U-Net~\\cite{stoller2018wave}",
+}
+
+
+def run_sweep(cfg: Config, rows: Sequence[Sequence[Any]]) -> List[Dict[str, Any]]:
+    from stofnet_tpu.cli.main import run
+
+    results = []
+    for row in rows:
+        model, ckpt, th = (list(row) + [None, None])[:3]
+        rcfg = cfg.copy()
+        rcfg.update(model=model, model_file=ckpt, th=th, evaluate=True)
+        print(f"=== sweep row: model={model} ckpt={ckpt} th={th}",
+              file=sys.stderr)
+        try:
+            out = run(rcfg)
+        except Exception as e:  # one broken row must not kill the sweep
+            print(f"row failed: {type(e).__name__}: {e}", file=sys.stderr)
+            out = {"model_name": model, "error": str(e)}
+        out["model"] = model
+        out["ckpt"] = ckpt
+        results.append(out)
+    return results
+
+
+def params_count(model_name: str, ckpt: Optional[str], cfg: Config) -> Optional[int]:
+    try:
+        from stofnet_tpu.cli.main import setup
+
+        rcfg = cfg.copy()
+        rcfg.update(model=model_name, model_file=ckpt, evaluate=True)
+        ctx = setup(rcfg)
+        import numpy as np
+        import jax
+
+        return sum(int(np.prod(np.shape(p)))
+                   for p in jax.tree.leaves(ctx["variables"]))
+    except Exception:
+        return None
+
+
+def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
+    """RMSE ±std / Jaccard / Weights / Time schema
+    (utils/load_table_contents.py:84-112)."""
+    lines = []
+    if latex:
+        lines += [
+            "\\begin{tabular}{l|cccc}",
+            "Method & RMSE [sample] & Jaccard [\\%] & Weights [k\\#]"
+            " & Time [ms] \\\\",
+            "\\hline",
+        ]
+    else:
+        lines += [
+            "| Method | RMSE [sample] | Jaccard [%] | Weights [k#] | Time [ms] |",
+            "|---|---|---|---|---|",
+        ]
+    for r in results:
+        label = (CITATIONS.get(r["model"], r["model"]) if latex
+                 else r["model"] + (f" ({r['ckpt']})" if r.get("ckpt") else ""))
+        if "error" in r:
+            cells = [label, "error", "-", "-", "-"]
+        else:
+            w = r.get("total_parameters")
+            cells = [
+                label,
+                f"{r.get('total_distance_mean', float('nan')):.2f}"
+                f" ±{r.get('total_distance_std', float('nan')):.2f}",
+                f"{r.get('total_jaccard', float('nan')):.1f}",
+                f"{w / 1000:.1f}" if w else "-",
+                f"{1000 * r.get('total_inference_time', float('nan')):.2f}",
+            ]
+        lines.append(" & ".join(cells) + " \\\\" if latex
+                     else "| " + " | ".join(cells) + " |")
+    if latex:
+        lines.append("\\end{tabular}")
+    return "\n".join(lines)
+
+
+def main(argv: Optional[list] = None) -> None:
+    cfg = merge_cli(load_config(DEFAULT_CONFIG), argv)
+    sweep_name = cfg.get("sweep", "chirp")
+    rows = cfg.get("rows") or SWEEPS[sweep_name]
+    if sweep_name == "pala" and "rf_scale_factor" not in (argv or []):
+        cfg.rf_scale_factor = 20
+
+    results = run_sweep(cfg, rows)
+
+    # attach parameter counts from run summaries
+    for r in results:
+        if "total_parameters" not in r:
+            import json
+
+            summary = Path(cfg.get("run_dir", "runs")) / \
+                f"{r.get('run_name')}_summary.json"
+            if summary.exists():
+                r.update(json.loads(summary.read_text()))
+
+    out_dir = Path(cfg.get("run_dir", "runs"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    md = format_table(results)
+    tex = format_table(results, latex=True)
+    (out_dir / "metrics_table.md").write_text(md + "\n")
+    (out_dir / "metrics_table.tex").write_text(tex + "\n")
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

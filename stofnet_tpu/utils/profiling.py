@@ -1,0 +1,67 @@
+"""Profiling / tracing utilities.
+
+The reference's only instrumentation is host wall-clock around the forward
+pass (main.py:313-315) and parameter counting by PARSING torchinfo's text
+output (main.py:415-417). Here:
+
+- ``count_params``: structural parameter count from the pytree.
+- ``flops_estimate``: XLA cost analysis of a jitted function.
+- ``trace``: context manager writing a jax.profiler trace viewable in
+  TensorBoard/Perfetto.
+- ``benchmark_fn``: steady-state timing with explicit host fetch (NB:
+  block_until_ready does not synchronize through the axon relay harness —
+  see bench.py; fetching a result does).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def count_params(variables: Any) -> int:
+    import jax
+
+    return sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(variables))
+
+
+def flops_estimate(fn: Callable, *args) -> Optional[float]:
+    """FLOPs from XLA's cost analysis of the lowered computation."""
+    import jax
+
+    try:
+        analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def benchmark_fn(fn: Callable, *args, iters: int = 10,
+                 warmup: int = 2) -> Dict[str, float]:
+    """Times fn(*args) with result fetch; returns ms statistics."""
+    for _ in range(warmup):
+        np.asarray(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    t = np.asarray(times)
+    return {"mean_ms": float(t.mean()), "p50_ms": float(np.median(t)),
+            "min_ms": float(t.min()), "max_ms": float(t.max())}
