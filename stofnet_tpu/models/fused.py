@@ -1,0 +1,90 @@
+"""HBM-optimal StofNet inference path with Pallas-fused hot blocks.
+
+``stofnet_apply_fused(variables, x, ...)`` reproduces
+``StofNet(...).apply(variables, x)`` exactly, but routes the
+SemiGlobalBlock's contract conv + 80x max-pool through the Pallas kernel
+(ops/pallas/sgb_kernel.py), which keeps the (B, L, 512) pre-pool tensor in
+VMEM tiles instead of HBM. That tensor is the model's dominant memory
+traffic (16 MB/waveform round trip) and its OOM cliff (B>=2048 at L=8k).
+
+Inference-only (the kernel defines no VJP); training uses the flax module.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stofnet_tpu.ops.shuffle import sample_shuffle
+from stofnet_tpu.ops.pallas.sgb_kernel import sgb_contract_pool
+
+
+def _conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                 dtype=None) -> jnp.ndarray:
+    """flax nn.Conv(padding='SAME') equivalence: (B, L, Cin) x (K, Cin, Cout)."""
+    if dtype is not None:
+        x, kernel, bias = x.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
+    k = kernel.shape[0]
+    y = lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[((k - 1) // 2, k // 2)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + bias
+
+
+@partial(jax.jit, static_argnames=("upsample_factor", "num_blocks",
+                                   "semi_global_scale", "dtype",
+                                   "interpret"))
+def stofnet_apply_fused(
+    variables: Any,
+    x: jnp.ndarray,
+    upsample_factor: int = 4,
+    num_blocks: int = 13,
+    semi_global_scale: int = 80,
+    dtype: Optional[Any] = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """StofNet forward, (B, 1, L) -> (B, 1, L*r), with fused SGB contract."""
+    p = variables["params"]
+    h = jnp.transpose(x, (0, 2, 1))
+    if dtype is not None:
+        h = h.astype(dtype)
+
+    h = jax.nn.relu(_conv1d_same(h, jnp.asarray(p["conv1"]["kernel"]),
+                                 jnp.asarray(p["conv1"]["bias"]), dtype))
+
+    if semi_global_scale != 1:
+        sgb = p["semi_global_block"]
+        pooled = sgb_contract_pool(
+            h, jnp.asarray(sgb["contract_conv"]["kernel"]),
+            jnp.asarray(sgb["contract_conv"]["bias"]), interpret=interpret)
+        s = _conv1d_same(pooled, jnp.asarray(sgb["expand_conv"]["kernel"]),
+                         jnp.asarray(sgb["expand_conv"]["bias"]), dtype)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, semi_global_scale, axis=1)
+        pad = max(0, h.shape[1] - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        h = h + s
+
+    residual_layers = set(range(3, num_blocks - 1, 2))
+    res = res1 = h
+    for i in range(2, num_blocks - 1):
+        y = _conv1d_same(h, jnp.asarray(p[f"conv{i}"]["kernel"]),
+                         jnp.asarray(p[f"conv{i}"]["bias"]), dtype)
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+
+    y = _conv1d_same(h, jnp.asarray(p[f"conv{num_blocks - 1}"]["kernel"]),
+                     jnp.asarray(p[f"conv{num_blocks - 1}"]["bias"]), dtype)
+    h = res1 + y
+
+    h = _conv1d_same(h, jnp.asarray(p["conv_last"]["kernel"]),
+                     jnp.asarray(p["conv_last"]["bias"]), dtype)
+    h = jnp.transpose(h, (0, 2, 1))
+    return sample_shuffle(h, upsample_factor).astype(jnp.float32)

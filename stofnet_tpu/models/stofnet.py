@@ -25,7 +25,11 @@ from stofnet_tpu.ops.shuffle import sample_shuffle
 
 class SemiGlobalBlock(nn.Module):
     """Cheap long-range context: an 80x max-pooled, channel-expanded pathway
-    added back onto the features (reference models/stofnet.py:80-117)."""
+    added back onto the features (reference models/stofnet.py:80-117).
+
+    For the HBM-optimal inference path of this block (contract conv + pool
+    fused in VMEM via Pallas) see models/fused.py:stofnet_apply_fused.
+    """
 
     features: int
     sample_scale: int = 80

@@ -1,0 +1,59 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path covered by the
+TPU bench). Parity vs the flax/XLA implementations."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stofnet_tpu.ops.pallas.sgb_kernel import sgb_contract_pool
+from stofnet_tpu.models.fused import stofnet_apply_fused
+from stofnet_tpu.models import StofNet
+
+from tests import reference
+
+
+@pytest.mark.parametrize("L", [800, 2000])
+def test_sgb_contract_pool_matches_xla(rng, L):
+    import flax.linen as nn
+    from jax import lax
+
+    h = jnp.asarray(rng.standard_normal((2, L, 64)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((5, 64, 512)) * 0.05).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(512) * 0.1).astype(np.float32))
+
+    out = np.asarray(sgb_contract_pool(h, w, b, interpret=True))
+
+    y = lax.conv_general_dilated(h, w, (1,), [(2, 2)],
+                                 dimension_numbers=("NHC", "HIO", "NHC"))
+    y = jax.nn.leaky_relu(y + b, 0.01)
+    ref_out = np.asarray(nn.max_pool(y, (80,), strides=(80,), padding="VALID"))
+
+    assert out.shape == ref_out.shape == (2, L // 80, 512)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5)
+
+
+def test_stofnet_fused_matches_module(rng):
+    """Fused apply == flax module apply with the reference checkpoint."""
+    from stofnet_tpu.models.torch_import import import_stofnet
+
+    path = reference.ckpt_path("different-armadillo")
+    if path is None:
+        pytest.skip("reference ckpts unavailable")
+    variables, overrides = import_stofnet(str(path))
+    model = StofNet(**overrides)
+
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    ref_out = np.asarray(model.apply(variables, x))
+    out = np.asarray(stofnet_apply_fused(variables, x, dtype=None,
+                                         interpret=True, **overrides))
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_stofnet_fused_random_init(rng):
+    model = StofNet()
+    x = jnp.zeros((1, 1, 800))
+    variables = model.init(jax.random.key(0), x)
+    out = stofnet_apply_fused(variables, x, dtype=None, interpret=True)
+    assert out.shape == (1, 1, 3200)
