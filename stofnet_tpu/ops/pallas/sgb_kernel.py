@@ -59,15 +59,21 @@ def _pick_tile(length: int) -> Optional[int]:
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, tile: int, negative_slope: float):
     # x_ref: (1, K, tile, 128) the K tap-shifted views of this tile
     # w_ref: (K, 128, 512) per-tap weights; b_ref: (1, 512) bias
-    # o_ref: (1, tile//80, 512) pooled+activated output block
+    # o_ref: (1, 1, rows_pad, 512) pooled+activated output block, rows
+    #        padded to the 8-sublane tile (wrapper slices the pad off)
     y = b_ref[0][None, :].astype(jnp.float32) * jnp.ones((tile, 1), jnp.float32)
     # conv as K accumulated tap matmuls on the MXU (f32 accumulation)
     for k in range(K):
         y = y + jnp.dot(x_ref[0, k], w_ref[k],
                         preferred_element_type=jnp.float32)
-    y = jnp.max(y.reshape(tile // POOL, POOL, y.shape[-1]), axis=1)
+    rows = tile // POOL
+    y = jnp.max(y.reshape(rows, POOL, y.shape[-1]), axis=1)
     y = jnp.where(y >= 0, y, negative_slope * y)  # leaky after pool (exact)
-    o_ref[0] = y.astype(o_ref.dtype)
+    rows_pad = o_ref.shape[2]
+    if rows_pad != rows:
+        y = jnp.concatenate(
+            [y, jnp.zeros((rows_pad - rows, y.shape[-1]), y.dtype)], axis=0)
+    o_ref[0, 0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("negative_slope", "interpret"))
@@ -103,8 +109,11 @@ def sgb_contract_pool(
     w2 = jnp.pad(kernel.astype(h.dtype), ((0, 0), (0, c_pad - c), (0, 0)))
     b2 = bias.reshape(1, f).astype(h.dtype)
 
-    grid = (b, length // tile)
-    return pl.pallas_call(
+    n_tiles = length // tile
+    rows = tile // POOL
+    rows_pad = -(-rows // 8) * 8  # 8-sublane alignment for the out block
+    grid = (b, n_tiles)
+    out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, negative_slope=negative_slope),
         grid=grid,
         in_specs=[
@@ -113,9 +122,10 @@ def sgb_contract_pool(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile // POOL, f),
-                               lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 1, rows_pad, f),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, length // POOL, f), h.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, rows_pad, f), h.dtype),
         interpret=interpret,
     )(xs, w2, b2)
+    return out[:, :, :rows, :].reshape(b, length // POOL, f)
