@@ -28,6 +28,7 @@ import numpy as np
 import yaml
 
 from stofnet_tpu.utils.natsort import natsorted
+from stofnet_tpu.native import loadtxt  # C++ fast path, numpy fallback
 
 
 def upscale_1d(data: np.ndarray, rescale_factor: float, fs: float = 1.0):
@@ -70,9 +71,8 @@ class ChirpDataset:
             self.samples_iq.extend(iq_paths)
 
             _, gt_iq = self._scan(target_dir / "truth")
-            positions = np.genfromtxt(
-                target_dir / "truth" / "true_measurement_positions.csv",
-                delimiter=",")[:, 1]
+            positions = loadtxt(
+                target_dir / "truth" / "true_measurement_positions.csv")[:, 1]
 
             rep = len(iq_paths) // max(len(gt_iq), 1)
             self.gt_iq.extend(p for p in gt_iq for _ in range(rep))
@@ -101,15 +101,15 @@ class ChirpDataset:
         return 1
 
     def get_sample_num(self) -> int:
-        return len(np.loadtxt(self.gt_iq[0]))
+        return len(loadtxt(self.gt_iq[0]))
 
     def __len__(self) -> int:
         return len(self.gt_positions)
 
     def __getitem__(self, idx: int):
-        envelope = np.loadtxt(self.samples_env[idx])
-        iq = np.loadtxt(self.samples_iq[idx])
-        iq_gt = np.loadtxt(self.gt_iq[idx])
+        envelope = loadtxt(self.samples_env[idx])
+        iq = loadtxt(self.samples_iq[idx])
+        iq_gt = loadtxt(self.gt_iq[idx])
         position = self.gt_positions[idx]
         label = self.labels[idx]
 

@@ -1,0 +1,85 @@
+"""Native C++ fastloader: correctness vs np.loadtxt and throughput sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from stofnet_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("no C++ toolchain / prebuilt library")
+    return True
+
+
+def test_loadtxt_single_column(lib_ok, tmp_path, rng):
+    data = rng.standard_normal(1000)
+    p = tmp_path / "one.txt"
+    np.savetxt(p, data)
+    out = native.loadtxt(p)
+    ref = np.loadtxt(p)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+def test_loadtxt_two_columns(lib_ok, tmp_path, rng):
+    data = rng.standard_normal((500, 2))
+    p = tmp_path / "two.txt"
+    np.savetxt(p, data)
+    out = native.loadtxt(p)
+    ref = np.loadtxt(p)
+    assert out.shape == ref.shape == (500, 2)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_loadtxt_csv(lib_ok, tmp_path):
+    p = tmp_path / "pos.csv"
+    p.write_text("0,25.5\n1,50.25\n2,-75.125\n")
+    out = native.loadtxt(p)
+    np.testing.assert_array_equal(
+        out, [[0.0, 25.5], [1.0, 50.25], [2.0, -75.125]])
+
+
+def test_loadtxt_scientific(lib_ok, tmp_path):
+    p = tmp_path / "sci.txt"
+    p.write_text("1e-5 -2.5E+3\n+3.25e0 4\n")
+    out = native.loadtxt(p)
+    np.testing.assert_array_equal(out, [[1e-5, -2.5e3], [3.25, 4.0]])
+
+
+def test_loadtxt_missing_file(lib_ok, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        native.loadtxt(tmp_path / "nope.txt")
+
+
+def test_faster_than_numpy(lib_ok, tmp_path, rng):
+    data = rng.standard_normal((8000, 2))
+    p = tmp_path / "big.txt"
+    np.savetxt(p, data)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        native.loadtxt(p)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.loadtxt(p)
+    t_numpy = time.perf_counter() - t0
+
+    assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_dataset_uses_fastloader(lib_ok, tmp_path):
+    from stofnet_tpu.data.synthetic import generate_chirp_dataset
+    from stofnet_tpu.data.chirp import ChirpDataset
+
+    root = generate_chirp_dataset(tmp_path / "chirp", n_positions=2,
+                                  n_train_per_pos=1, n_test_per_pos=1,
+                                  sample_num=200)
+    ds = ChirpDataset(root, "test", rf_scale_factor=2)
+    env, rf, rf_gt, gt, pos, label = ds[0]
+    assert rf.shape == (400,)
+    assert np.isfinite(rf).all()
