@@ -13,9 +13,19 @@ increasing, so it commutes with max-pooling; we pool first and activate the
 (TILE, 5*64) @ (5*64, 512) on the MXU with f32 accumulation.
 
 Grid: (B, L/TILE). Conv windows overlap by the SAME halo (2 samples), which
-a BlockSpec cannot express (blocks stride by their shape), so the input
-stays in HBM and each program DMAs its (TILE+4, 64) window into VMEM
-scratch (input pre-padded by the halo so every window is in-bounds).
+a BlockSpec cannot express (blocks stride by their shape). Halo handling
+therefore happens on the XLA side: the K tap-shifted views are stacked into
+a (B, K, L, 128) array and every kernel block is a plain non-overlapping
+BlockSpec.
+
+Status note (v5e via axon relay, 2026-08): the HBM-frugal variant — reading
+each halo window straight from HBM with pltpu.make_async_copy — reliably
+faults the TPU worker on this backend and was removed; and the stacked-view
+materialization costs enough HBM itself (~10 MB/wf) that the measured
+end-to-end fused model runs SLOWER than XLA's conv+pool (46 vs 17 ms per
+128-batch). The kernel is therefore OPT-IN: its value today is eliminating
+the (B, L, 512) HBM intermediate that OOMs XLA at B>=2048, L=8k. Exactness
+is tested in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
