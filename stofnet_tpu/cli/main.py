@@ -50,6 +50,10 @@ def build_dataset(cfg: Config):
     kind = dataset_kind(cfg.data_dir)
     rng = np.random.default_rng(cfg.seed)
     tf = [NormalizeVol()]
+    if str(cfg.data_dir).lower().endswith(".zip"):  # main.py:79-80 semantics
+        from stofnet_tpu.utils.zip_extract import zip_extract
+
+        cfg.data_dir = str(zip_extract(cfg.data_dir))
     if kind == "chirp":
         from stofnet_tpu.data.chirp import ChirpDataset
 

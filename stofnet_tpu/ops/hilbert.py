@@ -40,3 +40,14 @@ def analytic_signal(y: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def hilbert_envelope(y: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Magnitude of the analytic signal (instantaneous envelope)."""
     return jnp.abs(analytic_signal(y, axis=axis))
+
+
+def hilbert_transform_features(x: jnp.ndarray, concat_oscil: bool = False,
+                               channel_axis: int = 1) -> jnp.ndarray:
+    """Envelope features for (B, C, L) frames; with ``concat_oscil`` the raw
+    oscillation is concatenated along the channel axis (the reference's
+    HilbertTransform module, utils/hilbert.py:24-34)."""
+    env = hilbert_envelope(x, axis=-1)
+    if concat_oscil:
+        return jnp.concatenate([env, x], axis=channel_axis)
+    return env

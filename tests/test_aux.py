@@ -85,3 +85,43 @@ def test_profiling_utils():
     assert stats["mean_ms"] > 0
 
     assert count_params({"a": np.zeros((3, 4)), "b": np.zeros(5)}) == 17
+
+
+def test_zip_extract_roundtrip(tmp_path):
+    import zipfile
+    from stofnet_tpu.utils.zip_extract import zip_extract
+
+    src = tmp_path / "payload"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    zpath = tmp_path / "payload.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(src / "a.txt", "payload/a.txt")
+    import shutil
+
+    shutil.rmtree(src)
+    out = zip_extract(zpath)
+    assert (out / "a.txt").read_text() == "hello"
+    zip_extract(zpath)  # idempotent
+
+
+def test_hilbert_concat_oscil(rng):
+    import jax.numpy as jnp
+    from stofnet_tpu.ops.hilbert import hilbert_transform_features
+
+    x = rng.standard_normal((2, 1, 128)).astype("float32")
+    out = hilbert_transform_features(jnp.asarray(x), concat_oscil=True)
+    assert out.shape == (2, 2, 128)
+    np.testing.assert_array_equal(np.asarray(out[:, 1]), x[:, 0])
+
+
+def test_attention_block(rng):
+    import jax
+    import jax.numpy as jnp
+    from stofnet_tpu.models.attention import AttentionBlock1D
+
+    blk = AttentionBlock1D(features=32, num_heads=4, pool=4)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype("float32"))
+    v = blk.init(jax.random.key(0), x)
+    y = blk.apply(v, x)
+    assert y.shape == x.shape
