@@ -283,12 +283,26 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     params = ctx["variables"]["params"]
     state = TrainState(params, optimizer.init(params),
                        jnp.zeros((), jnp.int32))
+    start_epoch = 0
+    if cfg.get("resume"):
+        from stofnet_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(
+            cfg.resume,
+            {"variables": {"params": params},
+             "opt_state": state.opt_state, "step": 0, "epoch": 0})
+        state = TrainState(restored["variables"]["params"],
+                           restored["opt_state"],
+                           jnp.asarray(restored["step"], jnp.int32))
+        start_epoch = int(restored.get("epoch", 0))
+        print(f"resumed from {cfg.resume} at epoch {start_epoch}",
+              file=sys.stderr)
     early = EarlyStopping(patience=int(cfg.patience), delta=float(cfg.delta))
 
-    train_global = 0
-    epochs_run = 0
+    train_global = int(state.step)
+    epochs_run = start_epoch
     val_loss = float("inf")
-    for epoch in range(int(cfg.epochs)):
+    for epoch in range(start_epoch, int(cfg.epochs)):
         epoch_loss = 0.0
         n_items = 0
         for batch in train_loader:
@@ -304,18 +318,23 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                         "train_loss": loss})
         epochs_run = epoch + 1
 
-        # validation
-        vlosses = []
+        # validation (loss + tolerance-matched ToA metrics, main.py:291-347)
+        vlosses, vmetrics = [], []
         for batch in val_loader:
             frame, gt = batch_to_arrays(batch, kind)
             gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
             out = eval_step({"params": state.params}, jnp.asarray(frame),
                             jnp.asarray(gt), jnp.asarray(gt_true))
             vlosses.append(float(out["loss"]))
+            vmetrics.append(np.asarray(out["toa_metrics"]))
         val_loss = float(np.sum(vlosses))
+        vm = (np.concatenate(vmetrics) if vmetrics
+              else np.full((1, 7), np.nan))
         logger.log({"event": "epoch", "epoch": epoch,
                     "train_loss": epoch_loss / max(n_items, 1),
                     "val_loss": val_loss,
+                    "val_toa_distance": _nanmean(vm[:, 0]),
+                    "val_toa_jaccard": _nanmean(vm[:, 3]),
                     "lr": float(schedule(state.step))})
 
         if early(val_loss):
@@ -328,7 +347,9 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             f"_epoch_{epochs_run}")
     path = save_checkpoint(ckpt_dir / name, {
         "variables": {"params": jax.tree.map(np.asarray, state.params)},
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
         "step": int(state.step),
+        "epoch": int(epochs_run),
     })
     logger.set_summary(checkpoint=str(path), final_val_loss=val_loss,
                        epochs=epochs_run)

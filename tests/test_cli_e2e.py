@@ -122,3 +122,20 @@ def test_evaluate_pala_gradpeak(pala_root, tmp_path):
                    max_echoes=16, etol=4)
     out = run(cfg)
     assert np.isfinite(out["total_distance_mean"])
+
+
+def test_train_resume(chirp_root, tmp_path):
+    """Mid-run resume restores params + optimizer state + epoch counter."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8)
+    out1 = run(cfg)
+    assert out1["epochs"] == 1
+
+    cfg2 = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                    batch_size=4, model="espcn", epochs=2,
+                    rf_scale_factor=4, max_echoes=8,
+                    resume=out1["checkpoint"])
+    out2 = run(cfg2)
+    assert out2["epochs"] == 2  # continued from epoch 1, ran one more
+    assert Path(out2["checkpoint"]).name.endswith("epoch_2")
