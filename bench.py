@@ -88,6 +88,32 @@ def main() -> None:
         f"{'bf16' if use_bf16 else 'f32'}")
     pipe = pipe_bf16 if use_bf16 else pipe_f32
 
+    # opportunistic Pallas path: the fused SGB+conv-stack kernels are exact
+    # (tests/test_pallas_kernels.py) but this harness's Mosaic compile helper
+    # is intermittently unavailable — gate on compile success + coord parity
+    use_fused = False
+    if overrides and use_bf16:
+        try:
+            from stofnet_tpu.models.fused import stofnet_apply_fused
+
+            @jax.jit
+            def pipe_fused(v, xb):
+                heat = stofnet_apply_fused(v, xb, dtype=jnp.bfloat16,
+                                           fused_stack=True, **overrides)
+                return mask2coords(heat, window_size=20, threshold=None,
+                                   upsample_factor=4, max_echoes=8)
+
+            cf = np.asarray(pipe_fused(variables, x))
+            agree_f = np.mean(np.abs(c32 - cf) <= 1.0)
+            if agree_f >= 0.99:
+                pipe = pipe_fused
+                use_fused = True
+            log(f"pallas fused pipeline: coord agreement {agree_f:.4f} -> "
+                f"{'using fused' if use_fused else 'keeping XLA'}")
+        except Exception as e:
+            log(f"pallas fused pipeline unavailable "
+                f"({type(e).__name__}); keeping XLA path")
+
     # per-call latency through the relay (harness-bound, stderr only)
     np.asarray(pipe(variables, x))
     t0 = time.perf_counter()
@@ -96,29 +122,22 @@ def main() -> None:
     log(f"per-call latency B={BATCH} (relay-bound): "
         f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
 
-    def stream_pipeline(dtype, batch, k):
-        model = StofNet(dtype=dtype, **overrides)
-
+    def stream_pipeline(body_fn, batch, k):
         @jax.jit
         def run(v, key):
             xs = jax.random.normal(key, (k, batch, 1, LENGTH), jnp.float32)
             xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
 
             def body(carry, xb):
-                heat = model.apply(v, xb)
-                coords = mask2coords(heat, window_size=20, threshold=None,
-                                     upsample_factor=4, max_echoes=8)
-                return carry, coords
+                return carry, body_fn(v, xb)
 
             _, cs = jax.lax.scan(body, 0, xs)
             return cs
 
         return run
 
-    dtype = jnp.bfloat16 if use_bf16 else None
-
-    def sustained_wf_s(batch, k):
-        run = stream_pipeline(dtype, batch, k)
+    def sustained_wf_s(body_fn, batch, k):
+        run = stream_pipeline(body_fn, batch, k)
         key = jax.random.key(0)
         np.asarray(run(variables, key))  # compile + warm
         t0 = time.perf_counter()
@@ -127,8 +146,18 @@ def main() -> None:
         assert cs.shape == (k, batch, 8)
         return batch * k / dt, dt / k
 
-    wf_s, dt = sustained_wf_s(BATCH, 50)
-    log(f"stream B={BATCH} k=50: {dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s")
+    try:
+        wf_s, dt = sustained_wf_s(pipe, BATCH, 50)
+    except Exception as e:
+        if not use_fused:
+            raise
+        log(f"fused stream failed to compile ({type(e).__name__}); "
+            f"falling back to XLA stream")
+        use_fused = False
+        pipe = pipe_bf16 if use_bf16 else pipe_f32
+        wf_s, dt = sustained_wf_s(pipe, BATCH, 50)
+    log(f"stream B={BATCH} k=50 ({'pallas-fused' if use_fused else 'xla'}): "
+        f"{dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s")
 
     print(json.dumps({
         "metric": "stofnet_rf_to_tof_throughput",

@@ -37,7 +37,7 @@ def _conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("upsample_factor", "num_blocks",
                                    "semi_global_scale", "dtype",
-                                   "interpret"))
+                                   "interpret", "fused_stack"))
 def stofnet_apply_fused(
     variables: Any,
     x: jnp.ndarray,
@@ -46,6 +46,7 @@ def stofnet_apply_fused(
     semi_global_scale: int = 80,
     dtype: Optional[Any] = jnp.bfloat16,
     interpret: bool = False,
+    fused_stack: bool = True,
 ) -> jnp.ndarray:
     """StofNet forward, (B, 1, L) -> (B, 1, L*r), with fused SGB contract."""
     p = variables["params"]
@@ -69,22 +70,27 @@ def stofnet_apply_fused(
         s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
         h = h + s
 
-    residual_layers = set(range(3, num_blocks - 1, 2))
-    res = res1 = h
-    for i in range(2, num_blocks - 1):
-        y = _conv1d_same(h, jnp.asarray(p[f"conv{i}"]["kernel"]),
-                         jnp.asarray(p[f"conv{i}"]["bias"]), dtype)
-        if i in residual_layers:
-            h = res + y
-            res = h
-        else:
-            h = jax.nn.leaky_relu(y, 0.01)
+    if fused_stack and num_blocks == 13:
+        from stofnet_tpu.ops.pallas.conv_stack_kernel import conv_stack_fused
 
-    y = _conv1d_same(h, jnp.asarray(p[f"conv{num_blocks - 1}"]["kernel"]),
-                     jnp.asarray(p[f"conv{num_blocks - 1}"]["bias"]), dtype)
-    h = res1 + y
+        h = conv_stack_fused(h, p, interpret=interpret)  # (B, L, r) f32
+    else:
+        residual_layers = set(range(3, num_blocks - 1, 2))
+        res = res1 = h
+        for i in range(2, num_blocks - 1):
+            y = _conv1d_same(h, jnp.asarray(p[f"conv{i}"]["kernel"]),
+                             jnp.asarray(p[f"conv{i}"]["bias"]), dtype)
+            if i in residual_layers:
+                h = res + y
+                res = h
+            else:
+                h = jax.nn.leaky_relu(y, 0.01)
 
-    h = _conv1d_same(h, jnp.asarray(p["conv_last"]["kernel"]),
-                     jnp.asarray(p["conv_last"]["bias"]), dtype)
+        y = _conv1d_same(h, jnp.asarray(p[f"conv{num_blocks - 1}"]["kernel"]),
+                         jnp.asarray(p[f"conv{num_blocks - 1}"]["bias"]), dtype)
+        h = res1 + y
+
+        h = _conv1d_same(h, jnp.asarray(p["conv_last"]["kernel"]),
+                         jnp.asarray(p["conv_last"]["bias"]), dtype)
     h = jnp.transpose(h, (0, 2, 1))
     return sample_shuffle(h, upsample_factor).astype(jnp.float32)

@@ -57,3 +57,64 @@ def test_stofnet_fused_random_init(rng):
     variables = model.init(jax.random.key(0), x)
     out = stofnet_apply_fused(variables, x, dtype=None, interpret=True)
     assert out.shape == (1, 1, 3200)
+
+
+@pytest.mark.parametrize("L", [800, 8000, 12000])
+def test_conv_stack_fused_matches_module(rng, L):
+    """Full fused conv stack (incl. window stitching) == flax module."""
+    from stofnet_tpu.models.torch_import import import_stofnet
+
+    path = reference.ckpt_path("different-armadillo")
+    if path is None:
+        pytest.skip("reference ckpts unavailable")
+    variables, overrides = import_stofnet(str(path))
+    model = StofNet(**overrides)
+
+    x = jnp.asarray(rng.standard_normal((1, 1, L)).astype(np.float32))
+    ref_out = np.asarray(model.apply(variables, x))
+    out = np.asarray(stofnet_apply_fused(variables, x, dtype=None,
+                                         interpret=True, fused_stack=True,
+                                         **overrides))
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_conv_stack_window_stitch_seams(rng):
+    """Stitched windows must be exact at chunk seams and sequence edges."""
+    from stofnet_tpu.ops.pallas.conv_stack_kernel import conv_stack_fused
+    from stofnet_tpu.models.torch_import import import_stofnet
+
+    path = reference.ckpt_path("different-armadillo")
+    if path is None:
+        pytest.skip("reference ckpts unavailable")
+    variables, _ = import_stofnet(str(path))
+    p = variables["params"]
+
+    h0 = jnp.asarray(rng.standard_normal((1, 8000, 64)).astype(np.float32))
+    out = np.asarray(conv_stack_fused(h0, p, interpret=True))
+
+    # XLA reference for the same sub-stack
+    import flax.linen as nn
+    from jax import lax
+
+    def conv1d(h, kern, bias):
+        k = kern.shape[0]
+        y = lax.conv_general_dilated(h, jnp.asarray(kern), (1,),
+                                     [((k - 1) // 2, k // 2)],
+                                     dimension_numbers=("NHC", "HIO", "NHC"))
+        return y + jnp.asarray(bias)
+
+    h = h0
+    res = res1 = h
+    for i in range(2, 12):
+        y = conv1d(h, p[f"conv{i}"]["kernel"], p[f"conv{i}"]["bias"])
+        if i in {3, 5, 7, 9, 11}:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+    h = res1 + conv1d(h, p["conv12"]["kernel"], p["conv12"]["bias"])
+    ref = np.asarray(conv1d(h, p["conv_last"]["kernel"],
+                            p["conv_last"]["bias"]))
+    np.testing.assert_allclose(out, ref, rtol=1e-4,
+                               atol=1e-5 * np.abs(ref).max())
