@@ -223,6 +223,14 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                 coords2mask(jnp.asarray(gt_true), pred.shape[-1]))
             ideal_th = find_threshold(pred, masks_true)
 
+        # per-frame data artifact every 100th batch (main.py:386-391), local
+        if batch_idx % 100 == 1 and cfg.get("save_artifacts", True):
+            art_dir = Path(logger.run_dir) / f"{logger.run_name}_frames"
+            art_dir.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                art_dir / f"frame_{batch_idx:05d}.npz",
+                data=frame, toa=np.asarray(out["es_sample"]), gt=gt)
+
         for k, row in enumerate(metrics):
             total["distance"].append(row[0])
             total["jaccard"].append(row[3])

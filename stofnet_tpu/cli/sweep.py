@@ -41,6 +41,23 @@ SWEEPS: Dict[str, List[List[Any]]] = {
         ["zonzini", "polar-sun", None],
         ["gradpeak", None, 1e-5],
     ],
+    # in-vivo protocol (rat_benchmark.sh:36): th=1, ch_gap=1, etol=2 applied
+    # via the sweep-level config overrides below
+    "rat": [[m, c, 1.0] for m, c, _ in [
+        ["stofnet", "graceful-snow", None],
+        ["stofnet", "breezy-violet", None],
+        ["edsr", "snowy-dragon", None],
+        ["sincnet", "noble-monkey", None],
+        ["espcn", "wobbly-sponge", None],
+        ["zonzini", "polar-sun", None],
+        ["gradpeak", None, None],
+    ]],
+}
+
+SWEEP_OVERRIDES = {  # per-protocol config defaults (bash_scripts/*.sh)
+    "chirp": {"rf_scale_factor": 10, "etol": 1, "batch_size": 1},
+    "pala": {"rf_scale_factor": 20, "etol": 1, "batch_size": 1},
+    "rat": {"rf_scale_factor": 20, "etol": 2, "ch_gap": 1, "batch_size": 1},
 }
 
 CITATIONS = {  # row labels used in the reference's paper table
@@ -131,11 +148,14 @@ def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
 
 
 def main(argv: Optional[list] = None) -> None:
-    cfg = merge_cli(load_config(DEFAULT_CONFIG), argv)
+    args = list(argv) if argv is not None else sys.argv[1:]
+    cfg = merge_cli(load_config(DEFAULT_CONFIG), args)
     sweep_name = cfg.get("sweep", "chirp")
     rows = cfg.get("rows") or SWEEPS[sweep_name]
-    if sweep_name == "pala" and "rf_scale_factor" not in (argv or []):
-        cfg.rf_scale_factor = 20
+    explicit = {a.split("=")[0] for a in args}
+    for k, v in SWEEP_OVERRIDES.get(sweep_name, {}).items():
+        if k not in explicit:
+            cfg[k] = v
 
     results = run_sweep(cfg, rows)
 
