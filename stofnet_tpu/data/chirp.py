@@ -22,7 +22,7 @@ host numpy so workers can prefetch).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import yaml

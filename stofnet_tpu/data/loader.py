@@ -8,7 +8,7 @@ batch N — dispatch is async, so the transfer rides under compute).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Every transform is ``(waveform, gt) -> (waveform, gt)``; gt may be None.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

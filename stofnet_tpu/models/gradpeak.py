@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
-
 from stofnet_tpu.ops.gradpeak import toa_detect
 
 

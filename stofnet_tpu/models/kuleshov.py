@@ -15,7 +15,7 @@ randomly initialized imported weights.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -17,7 +17,7 @@ Results match the reference exactly while edge counts stay <= MAX_EDGES.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

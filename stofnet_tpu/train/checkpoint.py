@@ -8,11 +8,8 @@ remaining able to load every shipped reference ``.pth`` via the importers.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
-
-import numpy as np
+from typing import Any, Dict, Optional
 
 
 def save_checkpoint(path: str | Path, state: Dict[str, Any]) -> Path:

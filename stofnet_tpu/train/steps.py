@@ -8,7 +8,6 @@ on device with no host sync until the metrics tensor is fetched.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
