@@ -21,11 +21,14 @@ from typing import Any, Dict, List, Optional, Sequence
 from stofnet_tpu.utils.config import Config, load_config, merge_cli
 from stofnet_tpu.cli.main import DEFAULT_CONFIG
 
-# the reference's sweep rows (bash_scripts/array_*_params.txt)
+# the reference's sweep rows (bash_scripts/array_*_params.txt); optional
+# 4th element = per-row config overrides (e.g. the no-SemiGlobalBlock
+# StofNet ablation checkpoints require semi_global_scale=1, which the
+# reference's CLI could not even express)
 SWEEPS: Dict[str, List[List[Any]]] = {
     "chirp": [  # model, ckpt-prefix, threshold (rf_scale 10, etol 1)
         ["stofnet", "different-armadillo", None],
-        ["stofnet", "clean-serenity", None],
+        ["stofnet", "clean-serenity", None, {"semi_global_scale": 1}],
         ["edsr", "proud-cherry", None],
         ["sincnet", "pretty-brook", None],
         ["espcn", "vital-puddle", None],
@@ -34,7 +37,7 @@ SWEEPS: Dict[str, List[List[Any]]] = {
     ],
     "pala": [  # rf_scale 20 (array_pala_params.txt)
         ["stofnet", "graceful-snow", 0.015],
-        ["stofnet", "breezy-violet", 2.3],
+        ["stofnet", "breezy-violet", 2.3, {"semi_global_scale": 1}],
         ["edsr", "snowy-dragon", 1.5],
         ["sincnet", "noble-monkey", 4.2],
         ["espcn", "wobbly-sponge", 0.2],
@@ -43,15 +46,15 @@ SWEEPS: Dict[str, List[List[Any]]] = {
     ],
     # in-vivo protocol (rat_benchmark.sh:36): th=1, ch_gap=1, etol=2 applied
     # via the sweep-level config overrides below
-    "rat": [[m, c, 1.0] for m, c, _ in [
-        ["stofnet", "graceful-snow", None],
-        ["stofnet", "breezy-violet", None],
-        ["edsr", "snowy-dragon", None],
-        ["sincnet", "noble-monkey", None],
-        ["espcn", "wobbly-sponge", None],
-        ["zonzini", "polar-sun", None],
-        ["gradpeak", None, None],
-    ]],
+    "rat": [
+        ["stofnet", "graceful-snow", 1.0],
+        ["stofnet", "breezy-violet", 1.0, {"semi_global_scale": 1}],
+        ["edsr", "snowy-dragon", 1.0],
+        ["sincnet", "noble-monkey", 1.0],
+        ["espcn", "wobbly-sponge", 1.0],
+        ["zonzini", "polar-sun", 1.0],
+        ["gradpeak", None, 1.0],
+    ],
 }
 
 SWEEP_OVERRIDES = {  # per-protocol config defaults (bash_scripts/*.sh)
@@ -78,8 +81,10 @@ def run_sweep(cfg: Config, rows: Sequence[Sequence[Any]]) -> List[Dict[str, Any]
     results = []
     for row in rows:
         model, ckpt, th = (list(row) + [None, None])[:3]
+        extra = row[3] if len(row) > 3 and isinstance(row[3], dict) else {}
         rcfg = cfg.copy()
-        rcfg.update(model=model, model_file=ckpt, th=th, evaluate=True)
+        rcfg.update(model=model, model_file=ckpt, th=th, evaluate=True,
+                    **extra)
         print(f"=== sweep row: model={model} ckpt={ckpt} th={th}",
               file=sys.stderr)
         try:
