@@ -91,6 +91,32 @@ def mask2coords(
     return coords / upsample_factor
 
 
+def batch_mask2coords(
+    scores: jnp.ndarray,
+    window_size: int,
+    threshold: Optional[float] = None,
+    upsample_factor: int = 1,
+    max_echoes: int = 64,
+) -> jnp.ndarray:
+    """3-D variant (reference mask2samples.py:54-78): (B, C, L) heatmaps ->
+    (B, C, max_echoes) per-channel coordinates."""
+    b, c, l = scores.shape
+    flat = mask2coords(scores.reshape(b * c, l), window_size, threshold,
+                       upsample_factor, max_echoes)
+    return flat.reshape(b, c, max_echoes)
+
+
+def coords_to_nested_list(coords) -> list:
+    """Ragged python lists of valid detections per row (the reference's slow
+    mask2nested_list output shape; debugging/reporting convenience)."""
+    import numpy as np
+
+    coords = np.asarray(coords)
+    if coords.ndim == 2:
+        coords = coords[:, None, :]
+    return [[row[row != 0].tolist() for row in frame] for frame in coords]
+
+
 def coords2mask(samples: jnp.ndarray, length: int) -> jnp.ndarray:
     """Scatter 1s at integer sample positions -> (..., length) spike mask.
 

@@ -127,3 +127,33 @@ def test_get_amplitudes(rng):
     assert amps[0, 0] == frames[0, 3]
     assert amps[0, 1] == frames[0, 11]
     assert amps[1, 1] == frames[1, 63]
+
+
+def test_batch_mask2coords_matches_reference(rng):
+    from utils.mask2samples import batch_mask2coords as ref_batch
+    from stofnet_tpu.ops.peaks import batch_mask2coords
+
+    b, c, l = 2, 3, 256
+    hm = 0.05 * rng.random((b, c, l)).astype(np.float32)
+    for bi in range(b):
+        for ci in range(c):
+            pos = rng.choice(np.arange(10, l - 10), size=3, replace=False)
+            hm[bi, ci, pos] = 1.0 + rng.random(3).astype(np.float32)
+
+    ours = np.asarray(batch_mask2coords(jnp.asarray(hm), 9, threshold=0.5,
+                                        upsample_factor=2, max_echoes=8))
+    ref = ref_batch(torch.from_numpy(hm.copy()), 9, threshold=0.5,
+                    upsample_factor=2).numpy()
+    for bi in range(b):
+        for ci in range(c):
+            a = np.sort(ours[bi, ci][ours[bi, ci] != 0])
+            r = np.sort(ref[bi, ci][ref[bi, ci] != 0])
+            np.testing.assert_allclose(a, r, rtol=1e-6)
+
+
+def test_coords_to_nested_list():
+    from stofnet_tpu.ops.peaks import coords_to_nested_list
+
+    coords = np.array([[[3.0, 7.0, 0.0], [0.0, 0.0, 0.0]]])
+    out = coords_to_nested_list(coords)
+    assert out == [[[3.0, 7.0], []]]
