@@ -285,7 +285,8 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     optimizer, schedule = make_optimizer(
         lr=float(cfg.lr), weight_decay=float(cfg.weight_decay),
         epochs=int(cfg.epochs), steps_per_epoch=max(1, len(train_loader)))
-    train_step = make_train_step(ctx["model"], optimizer, lcfg)
+    train_step = make_train_step(ctx["model"], optimizer, lcfg,
+                                 remat=bool(cfg.get("remat", False)))
     eval_step = make_eval_step(ctx["model"], lcfg)
 
     params = ctx["variables"]["params"]

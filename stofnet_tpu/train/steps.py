@@ -42,12 +42,21 @@ class LossConfig(NamedTuple):
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
-                    cfg: LossConfig):
-    """Build a jittable (state, frame, gt_sample, gt_true) -> (state, aux)."""
+                    cfg: LossConfig, remat: bool = False):
+    """Build a jittable (state, frame, gt_sample, gt_true) -> (state, aux).
+
+    ``remat=True`` rematerializes the forward pass in the backward sweep
+    (jax.checkpoint), trading FLOPs for activation memory — lets the
+    SemiGlobalBlock's (B, L, 512) pre-pool activation drop out of the
+    training footprint at large batch.
+    """
     kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(model.apply)
 
     def loss_fn(params, frame, gt_sample, gt_true):
-        pred = model.apply({"params": params}, frame)
+        pred = apply_fn({"params": params}, frame)
         if cfg.model_kind == "regression":
             gt_units = gt_true.reshape(gt_sample.shape) // cfg.upsample_factor
             loss, _ = regression_loss(pred, gt_sample, gt_units)

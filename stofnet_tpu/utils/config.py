@@ -44,6 +44,12 @@ def _interpolate(value: Any, root: Dict[str, Any]) -> Any:
     return value
 
 
+def convert_to_dot_notation(d: Dict[str, Any]) -> Config:
+    """Attribute-style access over a plain dict (the reference's
+    utils/dict_dot.py helper)."""
+    return Config(d)
+
+
 def load_config(path: str | Path) -> Config:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}

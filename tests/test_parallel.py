@@ -122,3 +122,52 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 1, 3200)
+
+
+def test_dp_sharded_eval_step_matches_single(setup):
+    """Eval step (incl. decode + metrics) under dp sharding == single device."""
+    model, variables, frame = setup
+    cfg = LossConfig(upsample_factor=4, max_echoes=8)
+    eval_step = make_eval_step(model, cfg)
+    gt_sample = jnp.tile(jnp.asarray([[100.0]]), (8, 1))
+    gt_true = jnp.round(gt_sample[:, :, None] * 4).astype(jnp.int32)
+
+    ref = eval_step(variables, jnp.asarray(frame), gt_sample, gt_true)
+
+    mesh = make_mesh(dp=8, sp=1)
+    fsh = batch_sharding(mesh, 3)
+    gsh = batch_sharding(mesh, 2)
+    tsh = batch_sharding(mesh, 3)
+    out = jax.jit(eval_step, in_shardings=(replicate(mesh), fsh, gsh, tsh))(
+        jax.device_put(variables, replicate(mesh)),
+        jax.device_put(jnp.asarray(frame), fsh),
+        jax.device_put(gt_sample, gsh),
+        jax.device_put(gt_true, tsh),
+    )
+    np.testing.assert_allclose(np.asarray(out["toa_metrics"]),
+                               np.asarray(ref["toa_metrics"]),
+                               rtol=1e-5, atol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+
+
+def test_remat_train_step_matches(setup):
+    """Rematerialized training step produces identical updates."""
+    model, variables, frame = setup
+    up = 4
+    gt_sample = jnp.tile(jnp.asarray([[100.0]]), (8, 1))
+    gt_true = jnp.round(gt_sample[:, :, None] * up).astype(jnp.int32)
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=up)
+    params = variables["params"]
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    s1, a1 = make_train_step(model, optimizer, cfg)(
+        state, jnp.asarray(frame), gt_sample, gt_true)
+    s2, a2 = make_train_step(model, optimizer, cfg, remat=True)(
+        state, jnp.asarray(frame), gt_sample, gt_true)
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]), rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
