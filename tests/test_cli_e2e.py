@@ -139,3 +139,13 @@ def test_train_resume(chirp_root, tmp_path):
     out2 = run(cfg2)
     assert out2["epochs"] == 2  # continued from epoch 1, ran one more
     assert Path(out2["checkpoint"]).name.endswith("epoch_2")
+
+
+def test_evaluate_pala_stofnet(pala_root, tmp_path):
+    """StofNet heatmap path on PALA RF channels (BASELINE config #4 wiring)."""
+    cfg = base_cfg(tmp_path, data_dir=str(pala_root) + "/", evaluate=True,
+                   batch_size=2, model="stofnet", th=0.015,
+                   rf_scale_factor=2, ch_gap=2, sequences=[0],
+                   max_echoes=16, etol=4)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
