@@ -71,16 +71,21 @@ def _kernel(x_ref, wmid_ref, bmid_ref, wlast_ref, blast_ref, o_ref,
     res = x[EDGE: EDGE + L, :]
     res1 = res
 
-    residual_layers = set(range(3, NB - 1, 2))
-    for i in range(2, NB - 1):  # conv2..conv11
-        y = conv(x, wmid_ref[i - 2], bmid_ref[i - 2][None, :], KMID)
-        if i in residual_layers:
-            h = res.astype(jnp.float32) + y
-            res = h.astype(x.dtype)
-            h = res
-        else:
-            h = jnp.where(y >= 0, y, 0.01 * y).astype(x.dtype)
-        x = repad(h)
+    # conv2..conv11 as a fori_loop (a fully unrolled stack produces MLIR too
+    # large for this harness's compile helper); the residual schedule
+    # {3,5,7,9,11} is exactly the odd layers in [2, 11]
+    def layer_body(i, carry):
+        x, res = carry
+        li = i - 2
+        y = conv(x, wmid_ref[li], bmid_ref[li][None, :], KMID)
+        is_res = (i % 2) == 1
+        h_res = (res.astype(jnp.float32) + y).astype(x.dtype)
+        h_act = jnp.where(y >= 0, y, 0.01 * y).astype(x.dtype)
+        h = jnp.where(is_res, h_res, h_act)
+        res = jnp.where(is_res, h, res)
+        return repad(h), res
+
+    x, res = jax.lax.fori_loop(2, NB - 1, layer_body, (x, res))
 
     # conv12 + global residual res1
     y = conv(x, wmid_ref[NB - 3], bmid_ref[NB - 3][None, :], KMID)
