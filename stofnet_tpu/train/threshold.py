@@ -13,7 +13,9 @@ import numpy as np
 
 
 def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
-    """Minimal ROC: returns (fpr, tpr, thresholds) over distinct score cuts."""
+    """Minimal ROC matching sklearn's defaults: distinct score cuts with
+    collinear intermediate points dropped (drop_intermediate=True), plus the
+    conventional leading (0, 0) point."""
     order = np.argsort(-y_score, kind="stable")
     y = y_true[order].astype(np.float64)
     s = y_score[order].astype(np.float64)
@@ -23,6 +25,12 @@ def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
     # keep the last index of each distinct score (threshold boundary)
     distinct = np.r_[np.nonzero(np.diff(s))[0], s.size - 1]
     tps, fps, thr = tps[distinct], fps[distinct], s[distinct]
+
+    if tps.size > 2:  # drop points collinear in the (fps, tps) staircase
+        keep = np.r_[True,
+                     np.logical_or(np.diff(fps, 2), np.diff(tps, 2)) != 0,
+                     True]
+        tps, fps, thr = tps[keep], fps[keep], thr[keep]
 
     p = tps[-1] if tps[-1] > 0 else 1.0
     n = fps[-1] if fps[-1] > 0 else 1.0
@@ -34,11 +42,16 @@ def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
 
 def find_threshold(masks_pred, masks_true, window_size: int = 0,
                    norm_opt: bool = False) -> float:
-    """G-mean-optimal threshold on the first batch element."""
-    scores = np.asarray(masks_pred[0], dtype=np.float64).ravel().copy()
+    """G-mean-optimal threshold on the first batch element.
+
+    NB: with norm_opt the reference normalizes by the min/max of the WHOLE
+    batch tensor, then evaluates the ROC on element 0 (threshold.py:12-14).
+    """
+    full = np.asarray(masks_pred, dtype=np.float64)
+    scores = full[0].ravel().copy()
     if norm_opt:
-        scores -= scores.min()
-        mx = scores.max()
+        scores -= full.min()
+        mx = (full - full.min()).max()
         if mx != 0:
             scores /= mx
     else:
