@@ -59,16 +59,17 @@ def test_faster_than_numpy(lib_ok, tmp_path, rng):
     p = tmp_path / "big.txt"
     np.savetxt(p, data)
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        native.loadtxt(p)
-    t_native = time.perf_counter() - t0
+    def best_of(fn, n=5):
+        fn()  # warm page cache / library state
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.loadtxt(p)
-    t_numpy = time.perf_counter() - t0
-
+    t_native = best_of(lambda: native.loadtxt(p))
+    t_numpy = best_of(lambda: np.loadtxt(p))
     assert t_native < t_numpy, (t_native, t_numpy)
 
 
