@@ -3,7 +3,7 @@ collective tests run without TPU hardware, and keep goldens deterministic."""
 
 import os
 
-# must run before jax import anywhere in the test session
+# set env first (effective when jax has not been imported yet)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# this image's sitecustomize imports jax at interpreter start (before
+# pytest/conftest) to register the axon TPU backend, so the env var alone is
+# too late — force the platform through the live config as well
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
