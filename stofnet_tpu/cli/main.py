@@ -30,6 +30,67 @@ def _nanmean(x) -> float:
     return float(x[ok].mean()) if ok.any() else float("nan")
 
 
+def _save_channel_overview(path: Path, frame: np.ndarray, gt: np.ndarray,
+                           es: np.ndarray, logger: MetricsLogger) -> None:
+    """Channel-overview panel like the reference's in-loop W&B figure
+    (main.py:250-276); saved locally, mirrored to W&B when enabled."""
+    try:
+        import matplotlib.pyplot as plt
+
+        from stofnet_tpu.utils.plotting import plot_channel_overview
+    except Exception:
+        return
+    fig = plot_channel_overview(frame[:, 0], gt, echoes=es)
+    logger.log_figure("channel_overview", fig, path=path)
+    plt.close(fig)
+
+
+def _save_comparison(path: Path, frame: np.ndarray, es: np.ndarray,
+                     gt: np.ndarray, label: str,
+                     logger: MetricsLogger) -> None:
+    """Per-eval-sample comparison figure (main.py:369-384 + plot_frame.py)."""
+    try:
+        import matplotlib.pyplot as plt
+
+        from stofnet_tpu.utils.plotting import plot_comparison
+    except Exception:
+        return
+    fig = plot_comparison(frame[0, 0], [np.asarray(es[0])], [label],
+                          gt_samples=gt[0])
+    logger.log_figure("comparison", fig, path=path)
+    plt.close(fig)
+
+
+def _build_mesh(cfg: Config):
+    """Create the (dp, sp) device mesh when ``mesh=True`` (SURVEY §2.31:
+    DP over waveforms is the throughput axis, SP shards the RF sample axis
+    with GSPMD halo exchanges). Returns None for single-device runs."""
+    if not cfg.get("mesh"):
+        return None
+    from stofnet_tpu.parallel import make_mesh
+
+    dp = cfg.get("mesh_dp")
+    return make_mesh(dp=int(dp) if dp else None,
+                     sp=int(cfg.get("mesh_sp", 1) or 1))
+
+
+def _shard_inputs(mesh, frame, gt, gt_true):
+    """Device-put one batch with dp(+sp) shardings: frame (B,1,L) shards
+    batch over dp and the sample axis over sp; GT tensors shard batch only.
+    B must divide dp and L must divide sp."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.parallel import batch_seq_sharding, batch_sharding
+
+    sp = mesh.shape["sp"]
+    fsh = (batch_seq_sharding(mesh, 3, seq_axis=2) if sp > 1
+           else batch_sharding(mesh, 3))
+    return (jax.device_put(jnp.asarray(frame), fsh),
+            jax.device_put(jnp.asarray(gt), batch_sharding(mesh, 2)),
+            jax.device_put(jnp.asarray(gt_true), batch_sharding(mesh, 3)))
+
+
 def dataset_kind(data_dir: str) -> str:
     d = str(data_dir).lower()
     if "pala" in d:
@@ -184,7 +245,9 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     (main.py:291-421 semantics)."""
     import jax.numpy as jnp
 
-    from stofnet_tpu.data.loader import DataLoader
+    from stofnet_tpu.data.loader import (
+        DataLoader, default_num_workers, pipeline_batches,
+    )
     from stofnet_tpu.train.steps import make_eval_step
     from stofnet_tpu.train.threshold import find_threshold
 
@@ -193,18 +256,51 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     kind = info["kind"]
     eval_step = make_eval_step(ctx["model"], _loss_config(cfg, ctx["model_kind"]))
 
-    loader = DataLoader(ds, batch_size=int(cfg.batch_size), drop_last=True)
+    mesh = _build_mesh(cfg)
+    variables = ctx["variables"]
+    if mesh is not None:
+        import jax
+
+        from stofnet_tpu.parallel import replicate
+
+        variables = jax.device_put(variables, replicate(mesh))
+        print(f"eval on mesh dp={mesh.shape['dp']} sp={mesh.shape['sp']}",
+              file=sys.stderr)
+
+    nw = cfg.get("num_workers")
+    nw = default_num_workers() if nw is None else int(nw)
+    loader = DataLoader(ds, batch_size=int(cfg.batch_size), drop_last=True,
+                        num_workers=nw)
     up = int(cfg.upsample_factor)
+
+    def host_batches():
+        for batch in loader:
+            frame, gt = batch_to_arrays(batch, kind)
+            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+            yield frame, gt, gt_true
+
+    if mesh is not None:
+        put = lambda b: _shard_inputs(mesh, *b)  # noqa: E731
+    else:
+        put = lambda b: tuple(jnp.asarray(x) for x in b)  # noqa: E731
 
     total = {"loss": [], "distance": [], "jaccard": [], "time": []}
     val_step = 0
-    for batch_idx, batch in enumerate(loader):
-        frame, gt = batch_to_arrays(batch, kind)
-        gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+    # find_threshold runs on every eval batch like the reference
+    # (main.py:330); th_search_interval>1 thins the (host-side) search
+    th_every = int(cfg.get("th_search_interval", 1))
+    for batch_idx, (host, dev) in enumerate(
+            pipeline_batches(host_batches(), put)):
+        frame, gt, gt_true = host
+        frame_d, gt_d, gt_true_d = dev
 
+        # time the bare forward like the reference (main.py:313-315); the
+        # checksum fetch forces device completion through the relay
         tic = time.perf_counter()
-        out = eval_step(ctx["variables"], jnp.asarray(frame),
-                        jnp.asarray(gt), jnp.asarray(gt_true))
+        pred, checksum = eval_step.forward(variables, frame_d)
+        float(checksum)
+        toc_fwd = time.perf_counter() - tic
+        out = eval_step.finish(pred, gt_d, gt_true_d)
         metrics = np.asarray(out["toa_metrics"])  # forces completion
         toc = time.perf_counter() - tic
 
@@ -212,24 +308,29 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         val_step += 1
         # first batch's wall time is dominated by jit compilation; record it
         # as NaN so the nan-mean summary reflects steady-state throughput
-        infer_time = (toc / frame.shape[0]) if batch_idx > 0 else float("nan")
+        infer_time = (toc_fwd / frame.shape[0]) if batch_idx > 0 else float("nan")
+        step_time = (toc / frame.shape[0]) if batch_idx > 0 else float("nan")
 
         ideal_th = 0.0
-        if ctx["model_kind"] == "heatmap" and batch_idx % 20 == 0:
+        if ctx["model_kind"] == "heatmap" and batch_idx % th_every == 0:
             from stofnet_tpu.ops.peaks import coords2mask
 
-            pred = np.asarray(out["masks_pred"])
+            pred_np = np.asarray(out["masks_pred"])
             masks_true = np.asarray(
-                coords2mask(jnp.asarray(gt_true), pred.shape[-1]))
-            ideal_th = find_threshold(pred, masks_true)
+                coords2mask(jnp.asarray(gt_true), pred_np.shape[-1]))
+            ideal_th = find_threshold(pred_np, masks_true)
 
-        # per-frame data artifact every 100th batch (main.py:386-391), local
+        # per-frame data artifact + comparison figure every 100th batch
+        # (main.py:369-391), saved locally
         if batch_idx % 100 == 1 and cfg.get("save_artifacts", True):
             art_dir = Path(logger.run_dir) / f"{logger.run_name}_frames"
             art_dir.mkdir(parents=True, exist_ok=True)
+            es = np.asarray(out["es_sample"])
             np.savez_compressed(
                 art_dir / f"frame_{batch_idx:05d}.npz",
-                data=frame, toa=np.asarray(out["es_sample"]), gt=gt)
+                data=frame, toa=es, gt=gt)
+            _save_comparison(art_dir / f"frame_{batch_idx:05d}.png",
+                             frame, es, gt, str(cfg.model), logger)
 
         for k, row in enumerate(metrics):
             total["distance"].append(row[0])
@@ -240,6 +341,7 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         logger.log({"event": "val", "val_step": val_step, "val_loss": loss,
                     "val_ideal_threshold": ideal_th,
                     "inference_time": infer_time,
+                    "eval_step_time": step_time,
                     "val_toa_distance": _nanmean(metrics[:, 0]),
                     "val_toa_precision": _nanmean(metrics[:, 1]),
                     "val_toa_recall": _nanmean(metrics[:, 2]),
@@ -263,11 +365,14 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
-    from stofnet_tpu.data.loader import DataLoader, split_dataset
+    from stofnet_tpu.data.loader import (
+        DataLoader, default_num_workers, pipeline_batches, split_dataset,
+    )
     from stofnet_tpu.train.early_stop import EarlyStopping
     from stofnet_tpu.train.checkpoint import save_checkpoint
     from stofnet_tpu.train.steps import (
-        TrainState, make_eval_step, make_optimizer, make_train_step,
+        TrainState, init_train_state, make_eval_step, make_optimizer,
+        make_train_step, state_variables,
     )
 
     cfg = ctx["cfg"]
@@ -275,11 +380,14 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     kind = info["kind"]
     up = int(cfg.upsample_factor)
 
+    nw = cfg.get("num_workers")
+    nw = default_num_workers() if nw is None else int(nw)
     train_idx, val_idx = split_dataset(len(ds), 0.2, seed=int(cfg.seed))
     train_loader = DataLoader(ds, train_idx, batch_size=int(cfg.batch_size),
-                              shuffle=True, drop_last=True, seed=int(cfg.seed))
+                              shuffle=True, drop_last=True, seed=int(cfg.seed),
+                              num_workers=nw)
     val_loader = DataLoader(ds, val_idx, batch_size=int(cfg.batch_size),
-                            drop_last=True)
+                            drop_last=True, num_workers=nw)
 
     lcfg = _loss_config(cfg, ctx["model_kind"])
     optimizer, schedule = make_optimizer(
@@ -289,24 +397,48 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                                  remat=bool(cfg.get("remat", False)))
     eval_step = make_eval_step(ctx["model"], lcfg)
 
-    params = ctx["variables"]["params"]
-    state = TrainState(params, optimizer.init(params),
-                       jnp.zeros((), jnp.int32))
+    state = init_train_state(ctx["variables"], optimizer, seed=int(cfg.seed))
     start_epoch = 0
     if cfg.get("resume"):
         from stofnet_tpu.train.checkpoint import load_checkpoint
 
         restored = load_checkpoint(
             cfg.resume,
-            {"variables": {"params": params},
+            {"variables": state_variables(state),
              "opt_state": state.opt_state, "step": 0, "epoch": 0})
         state = TrainState(restored["variables"]["params"],
+                           restored["variables"].get("batch_stats", {}),
                            restored["opt_state"],
-                           jnp.asarray(restored["step"], jnp.int32))
+                           jnp.asarray(restored["step"], jnp.int32),
+                           state.rng)
         start_epoch = int(restored.get("epoch", 0))
         print(f"resumed from {cfg.resume} at epoch {start_epoch}",
               file=sys.stderr)
     early = EarlyStopping(patience=int(cfg.patience), delta=float(cfg.delta))
+
+    mesh = _build_mesh(cfg)
+    if mesh is not None:
+        from stofnet_tpu.parallel import replicate
+
+        state = jax.device_put(state, replicate(mesh))
+        print(f"train on mesh dp={mesh.shape['dp']} sp={mesh.shape['sp']}",
+              file=sys.stderr)
+
+    # in-loop figure panels every N train batches (main.py:250-276; the
+    # reference uploads to W&B every 800, we save PNGs next to the JSONL)
+    plot_every = int(cfg.get("plot_interval", 800))
+    plot_dir = Path(logger.run_dir) / f"{logger.run_name}_figs"
+
+    def host_batches(loader):
+        for batch in loader:
+            frame, gt = batch_to_arrays(batch, kind)
+            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+            yield frame, gt, gt_true
+
+    if mesh is not None:
+        put = lambda b: _shard_inputs(mesh, *b)  # noqa: E731
+    else:
+        put = lambda b: tuple(jnp.asarray(x) for x in b)  # noqa: E731
 
     train_global = int(state.step)
     epochs_run = start_epoch
@@ -314,26 +446,29 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     for epoch in range(start_epoch, int(cfg.epochs)):
         epoch_loss = 0.0
         n_items = 0
-        for batch in train_loader:
-            frame, gt = batch_to_arrays(batch, kind)
-            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
-            state, aux = train_step(state, jnp.asarray(frame),
-                                    jnp.asarray(gt), jnp.asarray(gt_true))
+        for host, dev in pipeline_batches(host_batches(train_loader), put):
+            frame, gt, gt_true = host
+            frame_d, gt_d, gt_true_d = dev
+            state, aux = train_step(state, frame_d, gt_d, gt_true_d)
             loss = float(aux["loss"])
             epoch_loss += loss * frame.shape[0]
             n_items += frame.shape[0]
             train_global += 1
             logger.log({"event": "train", "train_step": train_global,
                         "train_loss": loss})
+            if plot_every and train_global % plot_every == 0:
+                out = eval_step(state_variables(state), frame_d, gt_d,
+                                gt_true_d)
+                _save_channel_overview(
+                    plot_dir / f"train_{train_global:06d}.png", frame, gt,
+                    np.asarray(out["es_sample"]), logger)
         epochs_run = epoch + 1
 
         # validation (loss + tolerance-matched ToA metrics, main.py:291-347)
         vlosses, vmetrics = [], []
-        for batch in val_loader:
-            frame, gt = batch_to_arrays(batch, kind)
-            gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
-            out = eval_step({"params": state.params}, jnp.asarray(frame),
-                            jnp.asarray(gt), jnp.asarray(gt_true))
+        for _, dev in pipeline_batches(host_batches(val_loader), put):
+            frame_d, gt_d, gt_true_d = dev
+            out = eval_step(state_variables(state), frame_d, gt_d, gt_true_d)
             vlosses.append(float(out["loss"]))
             vmetrics.append(np.asarray(out["toa_metrics"]))
         val_loss = float(np.sum(vlosses))
@@ -355,7 +490,7 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     name = (f"{logger.run_name}_rf-scale{cfg.rf_scale_factor}"
             f"_epoch_{epochs_run}")
     path = save_checkpoint(ckpt_dir / name, {
-        "variables": {"params": jax.tree.map(np.asarray, state.params)},
+        "variables": jax.tree.map(np.asarray, state_variables(state)),
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
         "step": int(state.step),
         "epoch": int(epochs_run),

@@ -89,14 +89,15 @@ class PalaDatasetRf:
     @staticmethod
     def _svd_clutter(rf: np.ndarray, clutter_db: float) -> np.ndarray:
         """Slow-time SVD filter: drop leading components stronger than
-        ``clutter_db`` below the principal one."""
-        shape = rf.shape
-        x = rf.reshape(shape[0], -1).T  # (space, frames)
-        u, s, vh = np.linalg.svd(x, full_matrices=False)
-        level = 20 * np.log10(s / s[0] + 1e-12)
-        keep = level < clutter_db  # cut strong (clutter) components
-        xf = (u[:, keep] * s[keep]) @ vh[keep]
-        return xf.T.reshape(shape).astype(np.float32)
+        ``clutter_db`` below the principal one. Delegates to the
+        golden-tested ops.svd_filter decomposition (one implementation of
+        the Casorati/Gram math, not two that can drift)."""
+        from stofnet_tpu.ops.svd_filter import svd_filter_db
+
+        # slow time (frames) must be the trailing Casorati axis
+        ens = np.moveaxis(rf, 0, -1)
+        out = np.asarray(svd_filter_db(ens, clutter_db))
+        return np.moveaxis(out, -1, 0).astype(np.float32)
 
     def get_key(self, key: str):
         return self.cfg[key]

@@ -35,7 +35,7 @@ class EDSR1D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):  # (B, 1, L) -> (B, 1, L*r)
+    def __call__(self, x, train: bool = False):  # (B, 1, L) -> (B, 1, L*r)
         h = jnp.transpose(x, (0, 2, 1))
         if self.dtype is not None:
             h = h.astype(self.dtype)

@@ -71,7 +71,9 @@ class StofNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # ``train`` is the uniform model contract (BN/dropout models branch
+        # on it); StofNet itself is deterministic.
         h = jnp.transpose(x, (0, 2, 1))  # (B, L, 1): length-major for the MXU
         if self.dtype is not None:
             h = h.astype(self.dtype)

@@ -19,7 +19,7 @@ class _ZonziniNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):  # (B, 1, L) -> (B, 1)
+    def __call__(self, x, train: bool = False):  # (B, 1, L) -> (B, 1)
         h = jnp.transpose(x, (0, 2, 1))
         if self.dtype is not None:
             h = h.astype(self.dtype)

@@ -10,7 +10,7 @@ from typing import Optional
 
 
 class EarlyStopping:
-    def __init__(self, patience: int = 7, delta: float = 0.0, verbose=print):
+    def __init__(self, patience: int = 5, delta: float = 0.0, verbose=print):
         self.patience = patience
         self.delta = delta
         self.counter = 0

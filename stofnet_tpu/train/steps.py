@@ -4,6 +4,13 @@ Replaces the reference's straight-line loops (main.py:198-402) with pure
 functions: one traced+compiled step for training and one for evaluation.
 The full pipeline — model forward, peak decoding, loss, ToA metrics — runs
 on device with no host sync until the metrics tensor is fetched.
+
+Training covers the whole model zoo: BatchNorm running statistics are
+carried in ``TrainState.batch_stats`` and updated through
+``mutable=["batch_stats"]`` (reference trains SincNet/Kuleshov/WaveUnet with
+BN, models/sincnet.py:472-486, kuleshov.py:30-55, wave_unet.py:9-31), and
+dropout layers draw from a per-step rng derived deterministically from
+(seed, step) so resume reproduces the stream.
 """
 
 from __future__ import annotations
@@ -22,8 +29,32 @@ from stofnet_tpu.train.metrics import toa_rmse
 
 class TrainState(NamedTuple):
     params: Any
+    batch_stats: Any  # {} for models without BatchNorm
     opt_state: Any
     step: jnp.ndarray
+    rng: jax.Array  # dropout stream root; folded with step each train step
+
+
+def init_train_state(variables: Dict[str, Any],
+                     optimizer: optax.GradientTransformation,
+                     seed: int = 0) -> TrainState:
+    """Build a TrainState from flax ``variables`` (init or checkpoint)."""
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(seed),
+    )
+
+
+def state_variables(state: TrainState) -> Dict[str, Any]:
+    """The flax variables dict for eval/apply from a TrainState."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return variables
 
 
 class LossConfig(NamedTuple):
@@ -51,12 +82,19 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     training footprint at large batch.
     """
     kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
-    apply_fn = model.apply
-    if remat:
-        apply_fn = jax.checkpoint(model.apply)
 
-    def loss_fn(params, frame, gt_sample, gt_true):
-        pred = apply_fn({"params": params}, frame)
+    def forward(variables, rng, frame):
+        return model.apply(variables, frame, train=True,
+                           rngs={"dropout": rng}, mutable=["batch_stats"])
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, rng, frame, gt_sample, gt_true):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pred, updated = forward(variables, rng, frame)
         if cfg.model_kind == "regression":
             gt_units = gt_true.reshape(gt_sample.shape) // cfg.upsample_factor
             loss, _ = regression_loss(pred, gt_sample, gt_units)
@@ -66,17 +104,20 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 mask_amplitude=cfg.mask_amplitude,
                 lambda_value=cfg.lambda_value,
             )
-        return loss
+        return loss, dict(updated.get("batch_stats", {}))
 
     @jax.jit
     def train_step(state: TrainState, frame, gt_sample, gt_true):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, frame, gt_sample, gt_true
-        )
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, rng,
+                                   frame, gt_sample, gt_true)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+        return (TrainState(params, batch_stats, opt_state, state.step + 1,
+                           state.rng),
+                {"loss": loss})
 
     return train_step
 
@@ -86,12 +127,25 @@ def make_eval_step(model, cfg: LossConfig):
 
     Mirrors main.py:291-347: forward -> mask2coords (heatmap models) or raw
     regression output -> blurred-mask loss -> toa_rmse vs GT.
+
+    The returned callable also exposes the two jitted halves so the driver
+    can time the bare forward like the reference (main.py:313-315):
+
+    - ``eval_step.forward(variables, frame) -> (pred, checksum)`` — the
+      float32 scalar checksum forces completion with a tiny host fetch
+      (the axon relay does not synchronize through block_until_ready).
+    - ``eval_step.finish(pred, gt_sample, gt_true) -> dict`` — decode +
+      loss + metrics from the already-computed heatmap.
     """
     kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
 
     @jax.jit
-    def eval_step(variables, frame, gt_sample, gt_true) -> Dict[str, jnp.ndarray]:
+    def forward(variables, frame):
         pred = model.apply(variables, frame)
+        return pred, jnp.sum(pred.astype(jnp.float32))
+
+    @jax.jit
+    def finish(pred, gt_sample, gt_true) -> Dict[str, jnp.ndarray]:
         if cfg.model_kind == "regression":
             gt_units = gt_true.reshape(gt_sample.shape) // cfg.upsample_factor
             loss, _ = regression_loss(pred, gt_sample, gt_units)
@@ -111,6 +165,12 @@ def make_eval_step(model, cfg: LossConfig):
         return {"loss": loss, "es_sample": es_sample, "toa_metrics": metrics,
                 "masks_pred": pred}
 
+    def eval_step(variables, frame, gt_sample, gt_true) -> Dict[str, jnp.ndarray]:
+        pred, _ = forward(variables, frame)
+        return finish(pred, gt_sample, gt_true)
+
+    eval_step.forward = forward
+    eval_step.finish = finish
     return eval_step
 
 

@@ -61,6 +61,22 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_figure(self, key: str, fig, path: Optional[Path] = None) -> None:
+        """Save a matplotlib figure as PNG and mirror it to W&B (the
+        reference's wb_img_upload, utils/plotting.py:7-13)."""
+        if path is not None:
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(path, dpi=110)
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                from stofnet_tpu.utils.plotting import fig_to_array
+
+                self._wandb.log({key: wandb.Image(fig_to_array(fig))})
+            except Exception:
+                pass
+
     def set_summary(self, **kwargs: Any) -> None:
         self.summary.update({k: _jsonable(v) for k, v in kwargs.items()})
 

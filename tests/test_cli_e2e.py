@@ -141,6 +141,68 @@ def test_train_resume(chirp_root, tmp_path):
     assert Path(out2["checkpoint"]).name.endswith("epoch_2")
 
 
+@pytest.mark.parametrize("model", ["sincnet", "unet", "kuleshov"])
+def test_train_batchnorm_models_e2e(model, chirp_root, tmp_path):
+    """The reference trains its whole zoo (main.py:198-289); BN/dropout
+    models must train through the CLI too (round-1 crash regression)."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=2, model=model, epochs=1,
+                   rf_scale_factor=2, max_echoes=8, crop_ratio=0.75,
+                   plot_interval=0)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    assert Path(out["checkpoint"]).exists()
+
+
+def test_train_figures_logged(chirp_root, tmp_path):
+    """In-loop channel-overview figures appear under runs/ (main.py:250-276)."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, plot_interval=1)
+    run(cfg)
+    figs = list(Path(cfg.run_dir).glob("*_figs/train_*.png"))
+    assert figs, "no channel-overview figures written during training"
+
+
+def test_eval_comparison_figures_logged(chirp_root, tmp_path):
+    """Per-eval-artifact comparison figures appear next to the npz frames
+    (main.py:369-384)."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                   batch_size=2, model="espcn", th=None,
+                   rf_scale_factor=4, max_echoes=8)
+    run(cfg)
+    figs = list(Path(cfg.run_dir).glob("*_frames/frame_*.png"))
+    assert figs, "no comparison figures written during evaluation"
+
+
+def test_evaluate_on_mesh_matches_single_device(chirp_root, tmp_path):
+    """`mesh=True mesh_dp=4 mesh_sp=2` through the CLI reproduces the
+    single-device benchmark metrics (SURVEY §2.31: DP/SP as first-class
+    driver capability, not just a library)."""
+    common = dict(data_dir=str(chirp_root), evaluate=True, batch_size=4,
+                  model="espcn", th=None, rf_scale_factor=4, max_echoes=8)
+    out_single = run(base_cfg(tmp_path / "s", **common))
+    out_mesh = run(base_cfg(tmp_path / "m", mesh=True, mesh_dp=4, mesh_sp=2,
+                            **common))
+    assert out_mesh["total_distance_mean"] == pytest.approx(
+        out_single["total_distance_mean"], rel=1e-4, abs=1e-5, nan_ok=True)
+    assert out_mesh["total_jaccard"] == pytest.approx(
+        out_single["total_jaccard"], rel=1e-4)
+    assert out_mesh["val_loss"] == pytest.approx(out_single["val_loss"],
+                                                 rel=1e-3)
+
+
+def test_train_on_mesh_e2e(chirp_root, tmp_path):
+    """Data-parallel training end to end through the CLI."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1, rf_scale_factor=4,
+                   max_echoes=8, mesh=True, mesh_dp=4, mesh_sp=2,
+                   plot_interval=0)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    assert Path(out["checkpoint"]).exists()
+
+
 def test_evaluate_pala_stofnet(pala_root, tmp_path):
     """StofNet heatmap path on PALA RF channels (BASELINE config #4 wiring)."""
     cfg = base_cfg(tmp_path, data_dir=str(pala_root) + "/", evaluate=True,

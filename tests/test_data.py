@@ -101,6 +101,43 @@ def test_split_and_loader(chirp_root):
     assert len(dl2) == len(ds) // 5
 
 
+def test_threaded_loader_matches_serial(chirp_root):
+    """num_workers>0 pipelines item loads but yields identical batches in
+    identical order (the reference's DataLoader(num_workers=4) analogue)."""
+    ds = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4)
+    serial = DataLoader(ds, batch_size=3, shuffle=True, seed=7)
+    threaded = DataLoader(ds, batch_size=3, shuffle=True, seed=7,
+                          num_workers=4, prefetch_batches=2)
+    got_s = list(serial)
+    got_t = list(threaded)
+    assert len(got_s) == len(got_t)
+    for bs, bt in zip(got_s, got_t):
+        np.testing.assert_array_equal(bs[1], bt[1])
+        np.testing.assert_array_equal(bs[3], bt[3])
+        assert bs[5] == bt[5]
+
+
+def test_pipeline_batches_pairs_host_device(chirp_root):
+    import jax.numpy as jnp
+
+    from stofnet_tpu.data.loader import pipeline_batches
+
+    ds = ChirpDataset(chirp_root, split_dirname="test", rf_scale_factor=4)
+    dl = DataLoader(ds, batch_size=2)
+
+    def host_iter():
+        for batch in dl:
+            yield batch[1], batch[3]
+
+    n = 0
+    for (rf, gt), (rf_d, gt_d) in pipeline_batches(
+            host_iter(), lambda b: tuple(jnp.asarray(x) for x in b)):
+        n += 1
+        np.testing.assert_array_equal(np.asarray(rf_d), rf)
+        np.testing.assert_array_equal(np.asarray(gt_d), gt)
+    assert n == len(dl)
+
+
 def test_prefetch_to_device(chirp_root):
     from stofnet_tpu.data.loader import prefetch_to_device
 

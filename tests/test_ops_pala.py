@@ -34,6 +34,44 @@ def test_svd_filter_matches_reference(rng, lo, hi):
     np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
 
 
+def test_svd_filter_db_matches_numpy_svd(rng):
+    """dB-threshold variant (PALA clutter_db knob) == plain numpy SVD with
+    the same keep-mask; and it must actually remove static clutter."""
+    from stofnet_tpu.ops.svd_filter import svd_filter_db
+
+    f, cch, L = 12, 6, 48
+    sig = rng.standard_normal((cch, L, f)).astype(np.float32)
+    clutter = (rng.standard_normal((cch, L, 1)) *
+               np.ones((1, 1, f))).astype(np.float32) * 30
+    ens = sig + clutter
+
+    x = np.reshape(ens.astype(np.float64), (-1, f), order="F")
+    u, s, vh = np.linalg.svd(x, full_matrices=False)
+    level = 20 * np.log10(s / s[0] + 1e-12)
+    keep = level < -10.0
+    expect = ((u[:, keep] * s[keep]) @ vh[keep]).reshape(ens.shape, order="F")
+
+    got = np.asarray(svd_filter_db(jnp.asarray(ens), clutter_db=-10.0))
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=5e-3)
+
+    # the dominant static component is >30x the signal; filtering must cut
+    # the ensemble's energy by at least an order of magnitude
+    assert np.linalg.norm(got) < 0.1 * np.linalg.norm(ens)
+
+
+def test_pala_clutter_filter_uses_ops(rng):
+    """data/pala delegates to ops.svd_filter_db (one implementation)."""
+    from stofnet_tpu.data.pala import PalaDatasetRf
+    from stofnet_tpu.ops.svd_filter import svd_filter_db
+
+    rf = rng.standard_normal((8, 2, 4, 32)).astype(np.float32)
+    got = PalaDatasetRf._svd_clutter(rf, -6.0)
+    expect = np.moveaxis(
+        np.asarray(svd_filter_db(jnp.asarray(np.moveaxis(rf, 0, -1)), -6.0)),
+        -1, 0)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
 def _make_acq(rng, n_angles=3, n_samples=256, k=16):
     c, fs = 1540.0, 5e6
     pitch = 3e-4

@@ -16,7 +16,7 @@ from stofnet_tpu.parallel import (
 )
 from stofnet_tpu.train.steps import (
     LossConfig,
-    TrainState,
+    init_train_state,
     make_optimizer,
     make_train_step,
     make_eval_step,
@@ -68,8 +68,7 @@ def test_sharded_train_step_matches_single_device(setup):
     cfg = LossConfig(upsample_factor=up)
     train_step = make_train_step(model, optimizer, cfg)
 
-    params = variables["params"]
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    state = init_train_state(variables, optimizer)
 
     # single device
     s1, aux1 = train_step(state, jnp.asarray(frame), jnp.asarray(gt_sample),
@@ -160,8 +159,7 @@ def test_remat_train_step_matches(setup):
 
     optimizer, _ = make_optimizer(steps_per_epoch=1)
     cfg = LossConfig(upsample_factor=up)
-    params = variables["params"]
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    state = init_train_state(variables, optimizer)
 
     s1, a1 = make_train_step(model, optimizer, cfg)(
         state, jnp.asarray(frame), gt_sample, gt_true)

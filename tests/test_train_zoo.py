@@ -1,0 +1,112 @@
+"""Training across the whole model zoo, incl. BatchNorm/Dropout models.
+
+The reference trains every model behind the same switch
+(/root/reference/main.py:198-289); SincNet, Kuleshov and Wave-U-Net carry
+BatchNorm (and Kuleshov dropout), so the train step must thread
+batch_stats mutation and dropout rngs — this file locks that in, both at
+the step level (stats actually update) and end-to-end through the CLI.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stofnet_tpu.models import Kuleshov, SincNet, WaveUnet
+from stofnet_tpu.train.steps import (
+    LossConfig,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    state_variables,
+)
+
+
+def _train_data(rng, batch=2, length=800, up=4):
+    frame = rng.standard_normal((batch, 1, length)).astype(np.float32)
+    gt = rng.uniform(10, length - 10, size=(batch, 1)).astype(np.float32)
+    gt_true = np.round(gt[:, None, :] * up).astype(np.int32)
+    return jnp.asarray(frame), jnp.asarray(gt), jnp.asarray(gt_true)
+
+
+@pytest.mark.parametrize("name", ["sincnet", "kuleshov", "unet"])
+def test_bn_model_train_step_updates_stats(name, rng):
+    """One train step on a BatchNorm model: finite loss, params AND running
+    stats change (regression test for the round-1 ScopeCollectionNotFound)."""
+    length, up = 800, 1
+    if name == "sincnet":
+        model = SincNet(sample_rate=1e6)
+    elif name == "kuleshov":
+        model = Kuleshov(input_length=length, output_length=length * 4)
+        up = 4
+    else:
+        model = WaveUnet(n_layers=2, channels_interval=16)
+
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+    assert "batch_stats" in variables, f"{name} should carry BN stats"
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=up, max_echoes=8)
+    step = make_train_step(model, optimizer, cfg)
+    state = init_train_state(variables, optimizer)
+
+    frame, gt, gt_true = _train_data(rng, length=length, up=up)
+    new_state, aux = step(state, frame, gt, gt_true)
+    assert np.isfinite(float(aux["loss"]))
+
+    stats0 = jax.tree.leaves(state.batch_stats)
+    stats1 = jax.tree.leaves(new_state.batch_stats)
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(stats0, stats1))
+    assert changed, "BatchNorm running statistics did not update"
+
+    p_changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                    for a, b in zip(jax.tree.leaves(state.params),
+                                    jax.tree.leaves(new_state.params)))
+    assert p_changed, "parameters did not update"
+
+    # the updated state must evaluate cleanly (running averages used)
+    ev = make_eval_step(model, cfg)
+    out = ev(state_variables(new_state), frame, gt, gt_true)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_kuleshov_dropout_rng_varies_by_step(rng):
+    """Dropout draws differ between steps (per-step fold_in) but are
+    deterministic for a given (seed, step)."""
+    length = 800
+    model = Kuleshov(input_length=length, output_length=length * 4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+    frame, gt, gt_true = _train_data(rng, length=length, up=4)
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=4, max_echoes=8)
+    step = make_train_step(model, optimizer, cfg)
+    state = init_train_state(variables, optimizer)
+
+    s1, a1 = step(state, frame, gt, gt_true)
+    s1b, a1b = step(state, frame, gt, gt_true)  # same (seed, step)
+    np.testing.assert_allclose(float(a1["loss"]), float(a1b["loss"]))
+
+    s2, a2 = step(s1, frame, gt, gt_true)  # next step, same data
+    # loss differs because both params and the dropout mask moved
+    assert float(a2["loss"]) != float(a1["loss"])
+
+
+def test_deterministic_model_train_step_unchanged(rng):
+    """BN-free models keep an empty batch_stats and still train."""
+    from stofnet_tpu.models import ESPCN1D
+
+    model = ESPCN1D(upscale_factor=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+    assert "batch_stats" not in variables
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=4, max_echoes=8)
+    step = make_train_step(model, optimizer, cfg)
+    state = init_train_state(variables, optimizer)
+    frame, gt, gt_true = _train_data(rng)
+    new_state, aux = step(state, frame, gt, gt_true)
+    assert np.isfinite(float(aux["loss"]))
+    assert new_state.batch_stats == {}
