@@ -12,12 +12,30 @@ processed by one compiled ``lax.scan`` (weights loaded once, the serving
 pattern for a buffered RF stream) and all decoded coordinates are fetched.
 This measures the chip's actual pipeline rate; per-call measurements through
 this container's axon relay are bounded by its ~140 ms dispatch round-trip,
-which is a harness artifact, not hardware (logged to stderr for reference).
+which is a harness artifact, not hardware (a host-fed number is also
+reported so the serving-with-transfer story is on record).
 NOTE: block_until_ready() does not actually synchronize through the axon
 relay — only host fetches do, hence explicit np.asarray on outputs.
 
+Both compute paths are measured when available and reported side by side:
+- xla: the flax StofNet lowered by XLA (baseline path, always available)
+- pallas-fused: SGB contract+pool and the conv stack as Pallas kernels
+  (ops/pallas/*); the Mosaic compile helper in this harness is
+  intermittently down, so compilation is retried with backoff and the
+  path is skipped (not fatal) if it stays unavailable.
+
+MFU is computed from XLA's own cost analysis of the lowered pipeline
+against the v5e bf16 peak (197 TFLOP/s).
+
 Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
-CPU PyTorch reference (6.9 waveforms/s, BASELINE.md).
+CPU PyTorch reference (6.9 waveforms/s, BASELINE.md). Extra keys carry the
+per-path numbers.
+
+Usage: python bench.py [--oom-demo]
+  --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
+  experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
+  Pallas-fused SGB keeps it in VMEM tiles) and print one JSON line with
+  the outcome of both paths.
 """
 
 from __future__ import annotations
@@ -31,19 +49,21 @@ import numpy as np
 BASELINE_WF_S = 6.9  # measured reference CPU throughput (BASELINE.md)
 BATCH = 128
 LENGTH = 8000
+V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e (v5 lite) bf16 systolic peak
+MOSAIC_RETRIES = 3
+MOSAIC_BACKOFF_S = 30.0
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def setup():
     import jax
     import jax.numpy as jnp
 
     from stofnet_tpu.models import StofNet
     from stofnet_tpu.models.torch_import import import_stofnet
-    from stofnet_tpu.ops import mask2coords
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -56,116 +76,242 @@ def main() -> None:
         model = StofNet()
         variables = model.init(jax.random.key(0), jnp.zeros((1, 1, LENGTH)))
         overrides = {}
+    return variables, overrides
 
+
+def make_xla_pipeline(overrides, dtype):
+    import jax
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.ops import mask2coords
+
+    model = StofNet(dtype=dtype, **overrides)
+
+    @jax.jit
+    def rf_to_tof(v, x):
+        heat = model.apply(v, x)
+        return mask2coords(heat, window_size=20, threshold=None,
+                           upsample_factor=4, max_echoes=8)
+
+    return rf_to_tof
+
+
+def try_fused_pipeline(variables, overrides, x, coords_ref):
+    """Compile + parity-gate the Pallas path, retrying through Mosaic
+    helper outages. Returns the jitted fn or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.models.fused import stofnet_apply_fused
+    from stofnet_tpu.ops import mask2coords
+
+    @jax.jit
+    def pipe_fused(v, xb):
+        heat = stofnet_apply_fused(v, xb, dtype=jnp.bfloat16,
+                                   fused_stack=True, **overrides)
+        return mask2coords(heat, window_size=20, threshold=None,
+                           upsample_factor=4, max_echoes=8)
+
+    for attempt in range(1, MOSAIC_RETRIES + 1):
+        try:
+            cf = np.asarray(pipe_fused(variables, x))
+            agree = np.mean(np.abs(coords_ref - cf) <= 1.0)
+            log(f"pallas fused pipeline: coord agreement {agree:.4f}")
+            return pipe_fused if agree >= 0.99 else None
+        except Exception as e:
+            log(f"pallas compile attempt {attempt}/{MOSAIC_RETRIES} failed "
+                f"({type(e).__name__}: {str(e)[:120]})")
+            if attempt < MOSAIC_RETRIES:
+                time.sleep(MOSAIC_BACKOFF_S)
+    return None
+
+
+def sustained_wf_s(body_fn, variables, batch, k):
+    """Throughput of k scanned batches, inputs generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(v, key):
+        xs = jax.random.normal(key, (k, batch, 1, LENGTH), jnp.float32)
+        xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+
+        def body(carry, xb):
+            return carry, body_fn(v, xb)
+
+        _, cs = jax.lax.scan(body, 0, xs)
+        return cs
+
+    key = jax.random.key(0)
+    np.asarray(run(variables, key))  # compile + warm
+    t0 = time.perf_counter()
+    cs = np.asarray(run(variables, key))
+    dt = time.perf_counter() - t0
+    assert cs.shape == (k, batch, 8)
+    return batch * k / dt, dt / k
+
+
+def host_fed_wf_s(pipe, variables, batches, iters=10):
+    """Serving number including host->device transfer through the relay:
+    fresh host batches are device_put each call (one-deep pipelined) and
+    decoded coords fetched. Relay round-trip (~140 ms/call) dominates; on
+    directly-attached hardware this approaches the stream number."""
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(pipe(variables, jnp.asarray(batches[0])))  # warm
+    t0 = time.perf_counter()
+    nxt = jax.device_put(jnp.asarray(batches[0]))
+    for i in range(iters):
+        cur = nxt
+        if i + 1 < iters:
+            nxt = jax.device_put(jnp.asarray(batches[(i + 1) % len(batches)]))
+        np.asarray(pipe(variables, cur))
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def measure_mfu(pipe, variables, x, wf_s):
+    from stofnet_tpu.utils.profiling import flops_estimate
+
+    flops = flops_estimate(pipe, variables, x)
+    if not flops or not np.isfinite(flops):
+        return None, None
+    flops_per_s = flops * (wf_s / BATCH)
+    return flops / BATCH, 100.0 * flops_per_s / V5E_BF16_PEAK
+
+
+def oom_demo():
+    """B=2048, L=8k memory experiment: the XLA path must materialize the
+    SGB's (B, L, 512) pre-pool tensor (16.8 GB bf16 > 16 GB HBM); the
+    Pallas-fused SGB streams it through VMEM tiles."""
+    import jax
+    import jax.numpy as jnp
+
+    variables, overrides = setup()
+    big = 2048
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((big, 1, LENGTH)).astype(np.float32)
+    x /= np.abs(x).max(axis=-1, keepdims=True)
+    x = jnp.asarray(x)
+
+    def failure_summary(e):
+        import re
+
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
+        hits = [ln.strip() for ln in msg.splitlines()
+                if re.search(r"(?i)ran out of memory|exceeded hbm", ln)]
+        return (f"{type(e).__name__}: " +
+                ("; ".join(hits[:2]) if hits else msg[:200]))
+
+    results = {}
+    pipe_xla = make_xla_pipeline(overrides, jnp.bfloat16)
+    try:
+        c = np.asarray(pipe_xla(variables, x))
+        results["xla_b2048"] = f"ok ({c.shape})"
+    except Exception as e:
+        results["xla_b2048"] = failure_summary(e)
+    log(f"xla B={big}: {results['xla_b2048']}")
+
+    try:
+        from stofnet_tpu.models.fused import stofnet_apply_fused
+        from stofnet_tpu.ops import mask2coords
+
+        @jax.jit
+        def pipe_fused(v, xb):
+            heat = stofnet_apply_fused(v, xb, dtype=jnp.bfloat16,
+                                       fused_stack=False, **overrides)
+            return mask2coords(heat, window_size=20, threshold=None,
+                               upsample_factor=4, max_echoes=8)
+
+        c = np.asarray(pipe_fused(variables, x))
+        results["pallas_b2048"] = f"ok ({c.shape})"
+    except Exception as e:
+        results["pallas_b2048"] = failure_summary(e)
+    log(f"pallas B={big}: {results['pallas_b2048']}")
+
+    print(json.dumps({"metric": "stofnet_b2048_memory_demo", "value": 1.0,
+                      "unit": "see extra keys", "vs_baseline": 1.0,
+                      **results}))
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    variables, overrides = setup()
     rng = np.random.default_rng(3008)
 
     def make_input(batch):
         x = rng.standard_normal((batch, 1, LENGTH)).astype(np.float32)
         x /= np.abs(x).max(axis=-1, keepdims=True)
-        return jax.device_put(jnp.asarray(x), dev)
+        return x
 
-    def make_pipeline(dtype):
-        model = StofNet(dtype=dtype, **overrides)
-
-        @jax.jit
-        def rf_to_tof(v, x):
-            heat = model.apply(v, x)
-            return mask2coords(heat, window_size=20, threshold=None,
-                               upsample_factor=4, max_echoes=8)
-
-        return rf_to_tof
-
-    x = make_input(BATCH)
+    x = jnp.asarray(make_input(BATCH))
 
     # decode-parity gate: bf16 must reproduce f32 ToA coords on this batch
-    pipe_f32 = make_pipeline(None)
-    pipe_bf16 = make_pipeline(jnp.bfloat16)
+    pipe_f32 = make_xla_pipeline(overrides, None)
+    pipe_bf16 = make_xla_pipeline(overrides, jnp.bfloat16)
     c32 = np.asarray(pipe_f32(variables, x))
     c16 = np.asarray(pipe_bf16(variables, x))
     agree = np.mean(np.abs(c32 - c16) <= 1.0)
     use_bf16 = bool(agree >= 0.99)
     log(f"bf16/f32 coord agreement: {agree:.4f} -> using "
         f"{'bf16' if use_bf16 else 'f32'}")
-    pipe = pipe_bf16 if use_bf16 else pipe_f32
-
-    # opportunistic Pallas path: the fused SGB+conv-stack kernels are exact
-    # (tests/test_pallas_kernels.py) but this harness's Mosaic compile helper
-    # is intermittently unavailable — gate on compile success + coord parity
-    use_fused = False
-    if overrides and use_bf16:
-        try:
-            from stofnet_tpu.models.fused import stofnet_apply_fused
-
-            @jax.jit
-            def pipe_fused(v, xb):
-                heat = stofnet_apply_fused(v, xb, dtype=jnp.bfloat16,
-                                           fused_stack=True, **overrides)
-                return mask2coords(heat, window_size=20, threshold=None,
-                                   upsample_factor=4, max_echoes=8)
-
-            cf = np.asarray(pipe_fused(variables, x))
-            agree_f = np.mean(np.abs(c32 - cf) <= 1.0)
-            if agree_f >= 0.99:
-                pipe = pipe_fused
-                use_fused = True
-            log(f"pallas fused pipeline: coord agreement {agree_f:.4f} -> "
-                f"{'using fused' if use_fused else 'keeping XLA'}")
-        except Exception as e:
-            log(f"pallas fused pipeline unavailable "
-                f"({type(e).__name__}); keeping XLA path")
+    pipe_xla = pipe_bf16 if use_bf16 else pipe_f32
 
     # per-call latency through the relay (harness-bound, stderr only)
-    np.asarray(pipe(variables, x))
+    np.asarray(pipe_xla(variables, x))
     t0 = time.perf_counter()
     for _ in range(5):
-        np.asarray(pipe(variables, x))
+        np.asarray(pipe_xla(variables, x))
     log(f"per-call latency B={BATCH} (relay-bound): "
         f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
 
-    def stream_pipeline(body_fn, batch, k):
-        @jax.jit
-        def run(v, key):
-            xs = jax.random.normal(key, (k, batch, 1, LENGTH), jnp.float32)
-            xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+    wf_xla, dt = sustained_wf_s(pipe_xla, variables, BATCH, 50)
+    log(f"stream B={BATCH} k=50 (xla): {dt * 1e3:.2f} ms/batch "
+        f"-> {wf_xla:.1f} wf/s")
 
-            def body(carry, xb):
-                return carry, body_fn(v, xb)
+    # Pallas path, measured alongside (exact per tests/test_pallas_kernels.py)
+    wf_fused = None
+    pipe_fused = (try_fused_pipeline(variables, overrides, x, c32)
+                  if (overrides and use_bf16) else None)
+    if pipe_fused is not None:
+        try:
+            wf_fused, dtf = sustained_wf_s(pipe_fused, variables, BATCH, 50)
+            log(f"stream B={BATCH} k=50 (pallas-fused): {dtf * 1e3:.2f} "
+                f"ms/batch -> {wf_fused:.1f} wf/s")
+        except Exception as e:
+            log(f"fused stream failed ({type(e).__name__}); xla path stands")
 
-            _, cs = jax.lax.scan(body, 0, xs)
-            return cs
+    use_fused = wf_fused is not None and wf_fused > wf_xla
+    wf_s = wf_fused if use_fused else wf_xla
 
-        return run
+    flops_per_wf, mfu = measure_mfu(pipe_xla, variables, x, wf_s)
+    if mfu is not None:
+        log(f"XLA cost analysis: {flops_per_wf / 1e9:.2f} GFLOP/waveform -> "
+            f"{mfu:.1f}% MFU of v5e bf16 peak")
 
-    def sustained_wf_s(body_fn, batch, k):
-        run = stream_pipeline(body_fn, batch, k)
-        key = jax.random.key(0)
-        np.asarray(run(variables, key))  # compile + warm
-        t0 = time.perf_counter()
-        cs = np.asarray(run(variables, key))
-        dt = time.perf_counter() - t0
-        assert cs.shape == (k, batch, 8)
-        return batch * k / dt, dt / k
-
-    try:
-        wf_s, dt = sustained_wf_s(pipe, BATCH, 50)
-    except Exception as e:
-        if not use_fused:
-            raise
-        log(f"fused stream failed to compile ({type(e).__name__}); "
-            f"falling back to XLA stream")
-        use_fused = False
-        pipe = pipe_bf16 if use_bf16 else pipe_f32
-        wf_s, dt = sustained_wf_s(pipe, BATCH, 50)
-    log(f"stream B={BATCH} k=50 ({'pallas-fused' if use_fused else 'xla'}): "
-        f"{dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s")
+    wf_host = host_fed_wf_s(pipe_xla, variables,
+                            [make_input(BATCH) for _ in range(4)])
+    log(f"host-fed B={BATCH} (incl. relay transfer): {wf_host:.1f} wf/s")
 
     print(json.dumps({
         "metric": "stofnet_rf_to_tof_throughput",
         "value": round(wf_s, 1),
         "unit": "waveforms/s/chip (B=128, L=8000, x4, fused decode)",
         "vs_baseline": round(wf_s / BASELINE_WF_S, 2),
+        "path": "pallas-fused" if use_fused else "xla",
+        "xla_wf_s": round(wf_xla, 1),
+        "pallas_wf_s": round(wf_fused, 1) if wf_fused else None,
+        "host_fed_wf_s": round(wf_host, 1),
+        "mfu_pct": round(mfu, 1) if mfu is not None else None,
+        "gflop_per_waveform": round(flops_per_wf / 1e9, 2)
+        if flops_per_wf else None,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--oom-demo" in sys.argv:
+        oom_demo()
+    else:
+        main()

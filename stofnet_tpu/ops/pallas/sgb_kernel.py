@@ -9,23 +9,31 @@ the block.
 
 Numerics: identical to pool(leaky(conv(x))) because leaky-ReLU is strictly
 increasing, so it commutes with max-pooling; we pool first and activate the
-80x smaller tensor. The conv itself is an im2col matmul
-(TILE, 5*64) @ (5*64, 512) on the MXU with f32 accumulation.
+80x smaller tensor. The conv is K accumulated tap matmuls
+(TILE, 128) @ (128, 512) on the MXU with f32 accumulation (channels
+lane-padded 64->128; the MXU pads contractions to 128 anyway).
 
-Grid: (B, L/TILE). Conv windows overlap by the SAME halo (2 samples), which
-a BlockSpec cannot express (blocks stride by their shape). Halo handling
-therefore happens on the XLA side: the K tap-shifted views are stacked into
-a (B, K, L, 128) array and every kernel block is a plain non-overlapping
-BlockSpec.
+Halo handling: BlockSpec blocks cannot overlap, so each grid step gets its
+non-overlapping (1, tile, 128) slab plus a tiny per-tile halo side-array
+(1, 8, 128) carrying the 2 boundary rows from each neighbor; the kernel
+stitches (halo_l ++ tile ++ halo_r) with a sublane concat (the Mosaic-safe
+pattern proven in conv_stack_kernel's repad). This keeps the XLA-side
+preparation at ~1.0x input traffic — the earlier 5x stacked-tap-view
+formulation cost (B, K, L, 128) HBM, made the fused model slower than XLA
+at B=128 AND re-introduced the very OOM the kernel exists to avoid.
 
-Status note (v5e via axon relay, 2026-08): the HBM-frugal variant — reading
-each halo window straight from HBM with pltpu.make_async_copy — reliably
-faults the TPU worker on this backend and was removed; and the stacked-view
-materialization costs enough HBM itself (~10 MB/wf) that the measured
-end-to-end fused model runs SLOWER than XLA's conv+pool (46 vs 17 ms per
-128-batch). The kernel is therefore OPT-IN: its value today is eliminating
-the (B, L, 512) HBM intermediate that OOMs XLA at B>=2048, L=8k. Exactness
-is tested in tests/test_pallas_kernels.py.
+Mosaic notes for this backend (hard-won): no overlapping BlockSpecs, no
+lane-concat of sublane-shifted views, dynamic sublane starts must be
+provably 8-aligned, DMA slices of 64-lane arrays trip 128-lane tiling.
+
+Measured (v5e via axon relay, 2026-08, B=128 L=8000, device-side stream):
+this kernel 12.3 ms/batch vs XLA conv+pool 7.1 ms — XLA wins at default
+batch because the MXU is already well-fed there and the kernel pays lane
+padding (64->128 contraction) plus misaligned tap shifts. Its proven value
+is the memory cliff: at B=2048 the XLA path is a hard compile-time OOM
+("Used 17.58G of 15.75G hbm") while this kernel runs and decodes — see
+bench.py --oom-demo. bench.py measures both paths and serves the faster.
+Exactness is tested in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ except Exception:  # pragma: no cover
 K = 5  # contract conv kernel size
 PAD = K // 2
 POOL = 80  # sample_scale
+CPAD = 128  # lane-padded channel count
 
 
 def pallas_available() -> bool:
@@ -66,15 +75,20 @@ def _pick_tile(length: int) -> Optional[int]:
     return None
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, *, tile: int, negative_slope: float):
-    # x_ref: (1, K, tile, 128) the K tap-shifted views of this tile
+def _kernel(x_ref, halo_ref, w_ref, b_ref, o_ref, *, tile: int,
+            negative_slope: float):
+    # x_ref: (1, tile, 128) this tile's features (no halo)
+    # halo_ref: (1, 1, 8, 128): rows 0:2 left-neighbor edge, 2:4 right edge
     # w_ref: (K, 128, 512) per-tap weights; b_ref: (1, 512) bias
-    # o_ref: (1, 1, rows_pad, 512) pooled+activated output block, rows
-    #        padded to the 8-sublane tile (wrapper slices the pad off)
-    y = b_ref[0][None, :].astype(jnp.float32) * jnp.ones((tile, 1), jnp.float32)
-    # conv as K accumulated tap matmuls on the MXU (f32 accumulation)
+    # o_ref: (1, 1, rows_pad, 512) pooled+activated output block
+    halo = halo_ref[0, 0]
+    x = jnp.concatenate(
+        [halo[0:2], x_ref[0], halo[2:4]], axis=0)  # (tile+4, 128)
+
+    y = b_ref[0][None, :].astype(jnp.float32) * jnp.ones((tile, 1),
+                                                         jnp.float32)
     for k in range(K):
-        y = y + jnp.dot(x_ref[0, k], w_ref[k],
+        y = y + jnp.dot(x[k: k + tile], w_ref[k],
                         preferred_element_type=jnp.float32)
     rows = tile // POOL
     y = jnp.max(y.reshape(rows, POOL, y.shape[-1]), axis=1)
@@ -107,19 +121,20 @@ def sgb_contract_pool(
     assert kk == K and ck == c and length % POOL == 0
     tile = _pick_tile(length)
     assert tile is not None, f"no VMEM tile divides L={length}"
+    n_tiles = length // tile
 
-    # Halo handling happens on the XLA side: stack the K tap-shifted views
-    # so every kernel block is a plain non-overlapping BlockSpec (Mosaic
-    # cannot express overlapping halo blocks, and lane-slicing DMAs of
-    # 64-channel arrays trip its 128-lane tiling). Channels pad to the
-    # 128-lane tile; the zero half is free (the MXU pads K to 128 anyway).
-    c_pad = 128
-    hp = jnp.pad(h, ((0, 0), (PAD, PAD), (0, c_pad - c)))
-    xs = jnp.stack([hp[:, k: k + length, :] for k in range(K)], axis=1)
-    w2 = jnp.pad(kernel.astype(h.dtype), ((0, 0), (0, c_pad - c), (0, 0)))
+    hp = jnp.pad(h, ((0, 0), (0, 0), (0, CPAD - c)))  # (B, L, 128)
+    # per-tile halo rows: h[j*tile-2 : j*tile] and h[(j+1)*tile : +2],
+    # zeros at the sequence ends (SAME padding)
+    hz = jnp.pad(hp, ((0, 0), (PAD, PAD), (0, 0)))  # (B, L+4, 128)
+    lefts = hz[:, :length].reshape(b, n_tiles, tile, CPAD)[:, :, :PAD]
+    rights = hz[:, 2 * PAD:].reshape(b, n_tiles, tile, CPAD)[:, :, -PAD:]
+    halo = jnp.concatenate([lefts, rights], axis=2)  # (B, n_tiles, 4, 128)
+    halo = jnp.pad(halo, ((0, 0), (0, 0), (0, 8 - 2 * PAD), (0, 0)))
+
+    w2 = jnp.pad(kernel.astype(h.dtype), ((0, 0), (0, CPAD - c), (0, 0)))
     b2 = bias.reshape(1, f).astype(h.dtype)
 
-    n_tiles = length // tile
     rows = tile // POOL
     rows_pad = -(-rows // 8) * 8  # 8-sublane alignment for the out block
     grid = (b, n_tiles)
@@ -127,7 +142,9 @@ def sgb_contract_pool(
         functools.partial(_kernel, tile=tile, negative_slope=negative_slope),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K, tile, c_pad), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, tile, CPAD), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, CPAD), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -137,5 +154,5 @@ def sgb_contract_pool(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles, rows_pad, f), h.dtype),
         interpret=interpret,
-    )(xs, w2, b2)
+    )(hp, halo, w2, b2)
     return out[:, :, :rows, :].reshape(b, length // POOL, f)
