@@ -495,10 +495,19 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         "step": int(state.step),
         "epoch": int(epochs_run),
     })
-    logger.set_summary(checkpoint=str(path), final_val_loss=val_loss,
-                       epochs=epochs_run)
-    return {"val_loss": val_loss, "checkpoint": str(path),
-            "epochs": epochs_run}
+    summary = {"val_loss": val_loss, "checkpoint": str(path),
+               "epochs": epochs_run}
+    if cfg.get("export_pth") and cfg.model.lower() != "gradpeak":
+        # reference-compatible .pth alongside the orbax checkpoint, so
+        # weights trained here load into the torch pipeline (main.py:172-177)
+        from stofnet_tpu.models.registry import export_checkpoint
+
+        pth = export_checkpoint(
+            cfg.model, state_variables(state), str(ckpt_dir / f"{name}.pth"),
+            n_layers=2 if kind == "chirp" else 10)
+        summary["export_pth"] = str(pth)
+    logger.set_summary(final_val_loss=val_loss, **summary)
+    return summary
 
 
 def run(cfg: Config) -> Dict[str, Any]:

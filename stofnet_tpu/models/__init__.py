@@ -16,6 +16,7 @@ from stofnet_tpu.models.gradpeak import GradPeak
 from stofnet_tpu.models.registry import (
     MODEL_NAMES,
     build_model,
+    export_checkpoint,
     import_checkpoint,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "GradPeak",
     "MODEL_NAMES",
     "build_model",
+    "export_checkpoint",
     "import_checkpoint",
 ]

@@ -11,6 +11,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stofnet_tpu.models.init import torch_default
 from stofnet_tpu.ops.shuffle import sample_shuffle
 
 
@@ -21,9 +22,10 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, L, C)
         y = nn.relu(nn.Conv(self.features, (3,), padding="SAME",
-                            dtype=self.dtype, name="conv1")(x))
+                            dtype=self.dtype, name="conv1",
+                            **torch_default(3, x.shape[-1]))(x))
         y = nn.Conv(self.features, (3,), padding="SAME", dtype=self.dtype,
-                    name="conv2")(y)
+                    name="conv2", **torch_default(3, self.features))(y)
         return x + y
 
 
@@ -40,19 +42,22 @@ class EDSR1D(nn.Module):
         if self.dtype is not None:
             h = h.astype(self.dtype)
         h = nn.relu(nn.Conv(self.num_features, (3,), padding="SAME",
-                            dtype=self.dtype, name="conv_input")(h))
+                            dtype=self.dtype, name="conv_input",
+                            **torch_default(3, self.num_channels))(h))
         res = h
         for i in range(self.num_blocks):
             h = _ResBlock(self.num_features, dtype=self.dtype,
                           name=f"residual_blocks_{i}")(h)
         h = nn.Conv(self.num_features, (3,), padding="SAME", dtype=self.dtype,
-                    name="conv_mid")(h)
+                    name="conv_mid", **torch_default(3, self.num_features))(h)
         h = h + res
         h = jnp.transpose(h, (0, 2, 1))  # (B, C, L)
         h = sample_shuffle(h, self.upscale_factor)  # (B, C/r, L*r)
         h = jnp.transpose(h, (0, 2, 1))
         h = nn.Conv(self.num_channels, (3,), padding="SAME", dtype=self.dtype,
-                    name="conv_output")(h)
+                    name="conv_output",
+                    **torch_default(3, self.num_features //
+                                    self.upscale_factor))(h)
         return jnp.transpose(h, (0, 2, 1)).astype(jnp.float32)
 
 
@@ -61,4 +66,12 @@ def rewrite_torch_key(key: str) -> str:
     if key.startswith("residual_blocks."):
         parts = key.split(".")
         return f"residual_blocks_{parts[1]}." + ".".join(parts[2:])
+    return key
+
+
+def rewrite_flax_key(key: str) -> str:
+    """Inverse of :func:`rewrite_torch_key` (for .pth export)."""
+    if key.startswith("residual_blocks_"):
+        head, rest = key.split(".", 1)
+        return f"residual_blocks.{head[len('residual_blocks_'):]}." + rest
     return key

@@ -20,6 +20,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stofnet_tpu.models.init import torch_default
+
 N_FILTERS = (128, 256, 512, 512)
 N_FILTERSIZES = (65, 33, 17, 9)
 BOTTLENECK_K = 9
@@ -71,7 +73,8 @@ class Kuleshov(nn.Module):
         for i in range(self.num_layers):
             h = nn.Conv(N_FILTERS[i], (N_FILTERSIZES[i],), strides=(2,),
                         padding="VALID", dtype=self.dtype,
-                        name=f"down_conv{i}")(h)
+                        name=f"down_conv{i}",
+                        **torch_default(N_FILTERSIZES[i], h.shape[-1]))(h)
             h = nn.leaky_relu(h, 0.01)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"down_bn{i}")(h)
@@ -79,7 +82,8 @@ class Kuleshov(nn.Module):
             skips.append(h)
 
         h = nn.Conv(N_FILTERS[-1], (BOTTLENECK_K,), strides=(2,),
-                    padding="VALID", dtype=self.dtype, name="bottleneck")(h)
+                    padding="VALID", dtype=self.dtype, name="bottleneck",
+                    **torch_default(BOTTLENECK_K, h.shape[-1]))(h)
         h = nn.Dropout(0.5, deterministic=not train)(h)
         h = nn.leaky_relu(h, 0.2)
 
@@ -87,7 +91,8 @@ class Kuleshov(nn.Module):
                                         N_FILTERSIZES[: self.num_layers]))))
         for i, (nf, fs) in enumerate(up_cfg):
             h = nn.Conv(2 * nf, (fs,), padding="VALID", dtype=self.dtype,
-                        name=f"up_conv{i}")(h)
+                        name=f"up_conv{i}",
+                        **torch_default(fs, h.shape[-1]))(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"up_bn{i}")(h)
             h = nn.Dropout(0.5, deterministic=not train)(h)
@@ -96,9 +101,10 @@ class Kuleshov(nn.Module):
             h = jnp.concatenate([h, skip], axis=1)  # along TIME (reference)
 
         h = nn.Conv(2, (9,), padding="VALID", dtype=self.dtype,
-                    name="final_conv")(h)
+                    name="final_conv", **torch_default(9, h.shape[-1]))(h)
         h = h.reshape(h.shape[0], -1)  # SubPixel1D channel interleave
-        h = nn.Dense(self.output_length, dtype=self.dtype, name="output_fc")(h)
+        h = nn.Dense(self.output_length, dtype=self.dtype, name="output_fc",
+                     **torch_default(1, h.shape[-1]))(h)
         return h[:, None, :].astype(jnp.float32)
 
 

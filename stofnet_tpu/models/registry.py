@@ -24,7 +24,8 @@ from stofnet_tpu.models import (
     wave_unet as _waveunet, kuleshov as _kuleshov,
 )
 from stofnet_tpu.models.torch_import import (
-    load_torch_state_dict, state_dict_to_params,
+    load_torch_state_dict, params_to_state_dict, save_torch_state_dict,
+    state_dict_to_params,
 )
 
 MODEL_NAMES = ("stofnet", "zonzini", "kuleshov", "edsr", "espcn", "sincnet",
@@ -79,26 +80,42 @@ def build_model(
     raise ValueError(f"unknown model '{name}' (known: {MODEL_NAMES})")
 
 
+def _interop_spec(name: str, n_layers: int = 2):
+    """(torch->flax rewrite, flax->torch rewrite, bn modules) per model."""
+    if name == "edsr":
+        return _edsr.rewrite_torch_key, _edsr.rewrite_flax_key, ()
+    if name == "zonzini":
+        return _zonzini.rewrite_torch_key, _zonzini.rewrite_flax_key, ()
+    if name == "sincnet":
+        return (_sincnet.rewrite_torch_key, _sincnet.rewrite_flax_key,
+                _sincnet.BATCHNORM_MODULES)
+    if name == "unet":
+        return (_waveunet.rewrite_torch_key, _waveunet.rewrite_flax_key,
+                _waveunet.batchnorm_modules(n_layers))
+    if name == "kuleshov":
+        return None, None, _kuleshov.BATCHNORM_MODULES
+    return None, None, ()
+
+
 def import_checkpoint(name: str, path: str, n_layers: int = 2):
     """Load a reference .pth into the flax variables tree for model ``name``."""
     name = name.lower()
     sd = load_torch_state_dict(path)
-
-    rewrite = None
-    bn: Tuple[str, ...] = ()
-    if name == "edsr":
-        rewrite = _edsr.rewrite_torch_key
-    elif name == "zonzini":
-        rewrite = _zonzini.rewrite_torch_key
-    elif name == "sincnet":
-        rewrite = _sincnet.rewrite_torch_key
-        bn = _sincnet.BATCHNORM_MODULES
-    elif name == "unet":
-        rewrite = _waveunet.rewrite_torch_key
-        bn = _waveunet.batchnorm_modules(n_layers)
-    elif name == "kuleshov":
-        bn = _kuleshov.BATCHNORM_MODULES
-
+    rewrite, _, bn = _interop_spec(name, n_layers)
     if rewrite is not None:
         sd = {rewrite(k): v for k, v in sd.items()}
     return state_dict_to_params(sd, batchnorm_modules=bn)
+
+
+def export_checkpoint(name: str, variables, path: str,
+                      n_layers: int = 2) -> str:
+    """Write flax variables as a reference-compatible torch .pth state dict
+    (the reverse interop: weights trained here load into the reference's
+    main.py:172-177 checkpoint lookup)."""
+    name = name.lower()
+    _, unrewrite, bn = _interop_spec(name, n_layers)
+    sd = params_to_state_dict(variables, batchnorm_modules=bn)
+    if unrewrite is not None:
+        sd = {unrewrite(k): v for k, v in sd.items()}
+    save_torch_state_dict(sd, path)
+    return path

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
+from stofnet_tpu.models.init import torch_default
+
 
 class SincConv(nn.Module):
     """Parameterized sinc band-pass conv; in_channels must be 1."""
@@ -100,14 +102,17 @@ class SincNet(nn.Module):
             if self.dtype is not None:
                 h = h.astype(self.dtype)
             h = nn.Conv(self.n_filt[0], (self.len_filt[0],), padding="SAME",
-                        dtype=self.dtype, name="conv0")(h)
+                        dtype=self.dtype, name="conv0",
+                        **torch_default(self.len_filt[0], 1))(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
                          dtype=self.dtype, name="bn0")(h)
         h = nn.leaky_relu(h, 0.2)
 
         for i in range(1, 4):
             h = nn.Conv(self.n_filt[i], (self.len_filt[i],), padding="SAME",
-                        dtype=self.dtype, name=f"conv{i}")(h)
+                        dtype=self.dtype, name=f"conv{i}",
+                        **torch_default(self.len_filt[i],
+                                        self.n_filt[i - 1]))(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
                              dtype=self.dtype, name=f"bn{i}")(h)
             if i < 3:
@@ -126,6 +131,18 @@ def rewrite_torch_key(key: str) -> str:
         return f"conv{parts[1]}." + ".".join(parts[2:])
     if parts[0] == "bn":
         return f"bn{parts[1]}." + ".".join(parts[2:])
+    return key
+
+
+def rewrite_flax_key(key: str) -> str:
+    """Inverse of :func:`rewrite_torch_key` (for .pth export)."""
+    head, rest = key.split(".", 1)
+    if head == "sinc_conv":
+        return "conv.0." + rest
+    if head.startswith("conv") and head[4:].isdigit():
+        return f"conv.{head[4:]}." + rest
+    if head.startswith("bn") and head[2:].isdigit():
+        return f"bn.{head[2:]}." + rest
     return key
 
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stofnet_tpu.models.init import torch_default
 from stofnet_tpu.ops.shuffle import sample_shuffle
 
 
@@ -40,12 +41,14 @@ class SemiGlobalBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, L, C)
         feat = max(1, self.sample_scale // 10) * self.features
         s = nn.Conv(feat, (self.kernel_size,), padding="SAME", dtype=self.dtype,
-                    name="contract_conv")(x)
+                    name="contract_conv",
+                    **torch_default(self.kernel_size, x.shape[-1]))(x)
         s = jax.nn.leaky_relu(s, 0.01)
         s = nn.max_pool(s, (self.sample_scale,), strides=(self.sample_scale,),
                         padding="VALID")
         s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
-                    dtype=self.dtype, name="expand_conv")(s)
+                    dtype=self.dtype, name="expand_conv",
+                    **torch_default(self.kernel_size, feat))(s)
         s = jax.nn.leaky_relu(s, 0.01)
         s = jnp.repeat(s, self.sample_scale, axis=1)  # nearest upsample
 
@@ -80,7 +83,8 @@ class StofNet(nn.Module):
 
         h = nn.relu(
             nn.Conv(self.num_features, (self.kernel_sizes[0],), padding="SAME",
-                    dtype=self.dtype, name="conv1")(h)
+                    dtype=self.dtype, name="conv1",
+                    **torch_default(self.kernel_sizes[0], 1))(h)
         )
 
         if self.semi_global_scale != 1:
@@ -93,7 +97,9 @@ class StofNet(nn.Module):
         res = res1 = h
         for i in range(2, self.num_blocks - 1):
             y = nn.Conv(self.num_features, (self.kernel_sizes[1],),
-                        padding="SAME", dtype=self.dtype, name=f"conv{i}")(h)
+                        padding="SAME", dtype=self.dtype, name=f"conv{i}",
+                        **torch_default(self.kernel_sizes[1],
+                                        self.num_features))(h)
             if i in residual_layers:
                 h = res + y
                 res = h
@@ -101,11 +107,15 @@ class StofNet(nn.Module):
                 h = jax.nn.leaky_relu(y, 0.01)
 
         y = nn.Conv(self.num_features, (self.kernel_sizes[1],), padding="SAME",
-                    dtype=self.dtype, name=f"conv{self.num_blocks - 1}")(h)
+                    dtype=self.dtype, name=f"conv{self.num_blocks - 1}",
+                    **torch_default(self.kernel_sizes[1],
+                                    self.num_features))(h)
         h = res1 + y
 
         h = nn.Conv(self.upsample_factor, (self.kernel_sizes[2],),
-                    padding="SAME", dtype=self.dtype, name="conv_last")(h)
+                    padding="SAME", dtype=self.dtype, name="conv_last",
+                    **torch_default(self.kernel_sizes[2],
+                                    self.num_features))(h)
 
         h = jnp.transpose(h, (0, 2, 1))  # (B, r, L)
         out = sample_shuffle(h, self.upsample_factor)  # (B, 1, L*r)

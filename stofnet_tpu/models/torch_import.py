@@ -80,6 +80,67 @@ def state_dict_to_params(
     return out
 
 
+def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def params_to_state_dict(
+    variables: Dict[str, Any],
+    batchnorm_modules: Tuple[str, ...] = (),
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`state_dict_to_params`: flax variables -> torch-name
+    state dict (numpy values; torch layout for kernels).
+
+    Completes the interop round trip so reference users can take weights
+    trained here back into the torch pipeline (main.py:172-177 loads plain
+    state dicts).
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def is_bn(scope: Tuple[str, ...]) -> bool:
+        mod = ".".join(scope)
+        return any(mod == b or mod.startswith(b + ".")
+                   for b in batchnorm_modules)
+
+    for (*scope, leaf), val in _flatten(variables.get("params", {})):
+        scope = tuple(scope)
+        val = np.asarray(val)
+        mod = ".".join(scope)
+        if is_bn(scope):
+            name = "weight" if leaf == "scale" else "bias"
+            sd[f"{mod}.{name}"] = val
+        elif leaf == "kernel":
+            if val.ndim == 3:  # (K, I, O) -> Conv1d (O, I, K)
+                sd[f"{mod}.weight"] = np.transpose(val, (2, 1, 0))
+            elif val.ndim == 2:  # (I, O) -> Linear (O, I)
+                sd[f"{mod}.weight"] = np.transpose(val, (1, 0))
+            else:
+                sd[f"{mod}.weight"] = val
+        elif leaf in ("low_hz_", "band_hz_"):  # SincConv raw parameters
+            sd[f"{mod}.{leaf}"] = val
+        else:
+            sd[f"{mod}.{leaf}"] = val
+    for (*scope, leaf), val in _flatten(variables.get("batch_stats", {})):
+        mod = ".".join(scope)
+        name = "running_mean" if leaf == "mean" else "running_var"
+        sd[f"{mod}.{name}"] = np.asarray(val)
+        sd.setdefault(f"{mod}.num_batches_tracked", np.asarray(0))
+    return sd
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Write a numpy state dict as a torch-loadable .pth."""
+    import torch  # lazy
+
+    torch.save({k: torch.from_numpy(np.array(v, np.float32, copy=True))
+                if np.asarray(v).ndim else torch.tensor(int(v))
+                for k, v in sd.items()}, path)
+
+
 def import_stofnet(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load a StofNet .pth; returns (variables, config_overrides).
 

@@ -16,6 +16,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stofnet_tpu.models.init import torch_default
 from stofnet_tpu.ops.resample import linear_resample
 
 
@@ -33,7 +34,8 @@ class WaveUnet(nn.Module):
 
         def block(h, feats, ksize, name):
             h = nn.Conv(feats, (ksize,), padding="SAME", dtype=self.dtype,
-                        name=f"{name}_conv")(h)
+                        name=f"{name}_conv",
+                        **torch_default(ksize, h.shape[-1]))(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"{name}_bn")(h)
             return nn.leaky_relu(h, 0.1)
@@ -54,7 +56,7 @@ class WaveUnet(nn.Module):
 
         h = jnp.concatenate([h, inp], axis=-1)
         h = nn.Conv(1, (1,), padding="VALID", dtype=self.dtype,
-                    name="out_conv")(h)
+                    name="out_conv", **torch_default(1, h.shape[-1]))(h)
         h = jnp.tanh(h)
         return jnp.transpose(h, (0, 2, 1)).astype(jnp.float32)
 
@@ -72,6 +74,24 @@ def rewrite_torch_key(key: str) -> str:
         return f"middle_{sub[parts[1]]}." + ".".join(parts[2:])
     if parts[0] == "out":
         return "out_conv." + ".".join(parts[2:])
+    return key
+
+
+def rewrite_flax_key(key: str) -> str:
+    """Inverse of :func:`rewrite_torch_key` (for .pth export)."""
+    head, rest = key.split(".", 1)
+    sub = {"conv": "0", "bn": "1"}
+    if head == "out_conv":
+        return "out.0." + rest
+    if "_" in head:
+        mod, kind = head.rsplit("_", 1)
+        if kind in sub:
+            if mod == "middle":
+                return f"middle.{sub[kind]}." + rest
+            if mod.startswith("enc"):
+                return f"encoder.{mod[3:]}.main.{sub[kind]}." + rest
+            if mod.startswith("dec"):
+                return f"decoder.{mod[3:]}.main.{sub[kind]}." + rest
     return key
 
 

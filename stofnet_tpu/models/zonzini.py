@@ -13,6 +13,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stofnet_tpu.models.init import torch_default
+
 
 class _ZonziniNet(nn.Module):
     channels: Sequence[int]
@@ -25,12 +27,15 @@ class _ZonziniNet(nn.Module):
             h = h.astype(self.dtype)
         for i, ch in enumerate(self.channels):
             h = nn.Conv(ch, (10,), strides=(2,), padding="VALID",
-                        dtype=self.dtype, name=f"conv{i}")(h)
+                        dtype=self.dtype, name=f"conv{i}",
+                        **torch_default(10, h.shape[-1]))(h)
             h = nn.relu(h)
             h = nn.max_pool(h, (2,), strides=(2,), padding="VALID")
         h = jnp.mean(h, axis=1)  # global average pool over length
-        h = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(h))
-        h = nn.Dense(1, dtype=self.dtype, name="fc2")(h)
+        h = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1",
+                             **torch_default(1, h.shape[-1]))(h))
+        h = nn.Dense(1, dtype=self.dtype, name="fc2",
+                     **torch_default(1, 1024))(h)
         return h.astype(jnp.float32)
 
 
@@ -47,4 +52,12 @@ def rewrite_torch_key(key: str) -> str:
     if key.startswith("conv_layers."):
         parts = key.split(".")
         return f"conv{parts[1]}." + ".".join(parts[2:])
+    return key
+
+
+def rewrite_flax_key(key: str) -> str:
+    """Inverse of :func:`rewrite_torch_key` (for .pth export)."""
+    head, rest = key.split(".", 1)
+    if head.startswith("conv") and head[4:].isdigit():
+        return f"conv_layers.{head[4:]}." + rest
     return key

@@ -154,6 +154,20 @@ def test_train_batchnorm_models_e2e(model, chirp_root, tmp_path):
     assert Path(out["checkpoint"]).exists()
 
 
+def test_train_export_pth(chirp_root, tmp_path):
+    """export_pth=True writes a reference-compatible .pth next to the
+    orbax checkpoint."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1, rf_scale_factor=4,
+                   max_echoes=8, export_pth=True, plot_interval=0)
+    out = run(cfg)
+    assert Path(out["export_pth"]).exists()
+    import torch
+
+    sd = torch.load(out["export_pth"], map_location="cpu", weights_only=True)
+    assert any(k.endswith("conv1.weight") for k in sd)
+
+
 def test_train_figures_logged(chirp_root, tmp_path):
     """In-loop channel-overview figures appear under runs/ (main.py:250-276)."""
     cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,

@@ -94,6 +94,37 @@ def test_kuleshov_dropout_rng_varies_by_step(rng):
     assert float(a2["loss"]) != float(a1["loss"])
 
 
+def test_from_scratch_init_matches_torch_defaults():
+    """Fresh-init weight scales match the reference's torch defaults
+    (kaiming_uniform(a=sqrt(5)): std = sqrt(1/(3*fan_in))) — flax's default
+    lecun_normal has 3x the variance and measurably changes from-scratch
+    training dynamics (TRAINPARITY.md)."""
+    from stofnet_tpu.models import StofNet
+
+    model = StofNet()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+    p = variables["params"]
+
+    for name, fan_in in [("conv1", 9 * 1), ("conv5", 7 * 64),
+                         ("conv_last", 3 * 64)]:
+        w = np.asarray(p[name]["kernel"])
+        expect_std = (1.0 / (3.0 * fan_in)) ** 0.5
+        assert abs(w.std() / expect_std - 1.0) < 0.15, (
+            f"{name}: std {w.std():.4f} vs torch-default {expect_std:.4f}")
+        b = np.asarray(p[name]["bias"])
+        bound = fan_in ** -0.5
+        assert np.abs(b).max() <= bound and b.std() > 0, (
+            f"{name}: bias should be U(-{bound:.3f}, {bound:.3f})")
+
+    # ESPCN keeps its bespoke reference init (espcn_1d.py:17-29)
+    from stofnet_tpu.models import ESPCN1D
+
+    e = ESPCN1D().init(jax.random.key(0), jnp.zeros((1, 1, 800)))["params"]
+    w3 = np.asarray(e["conv3"]["kernel"])
+    assert abs(w3.std() - 0.001) < 3e-4
+    assert np.all(np.asarray(e["conv3"]["bias"]) == 0)
+
+
 def test_deterministic_model_train_step_unchanged(rng):
     """BN-free models keep an empty batch_stats and still train."""
     from stofnet_tpu.models import ESPCN1D
