@@ -241,6 +241,12 @@ def main():
     log(f"torch: rmse {rt:.3f}  jaccard {jt:.1f}")
     log("wrote TRAINPARITY.md")
 
+    # distribution-level parity gate (2026-08-16 run: JAX 0.32/88.8 vs
+    # torch 0.41/87.5)
+    assert abs(jj - jt) <= 15.0, f"jaccard gap too large: {jj} vs {jt}"
+    assert rj <= 2.0 * max(rt, 0.25), f"rmse gap too large: {rj} vs {rt}"
+    log("PARITY OK")
+
 
 if __name__ == "__main__":
     main()
