@@ -202,7 +202,7 @@ def main():
         "Both frameworks trained from scratch with the reference recipe",
         f"(AdamW lr 5e-4, cosine over {EPOCHS} epochs, blurred-mask MSE +",
         "1e-2 L1, early-stop patience 5 — /root/reference/main.py:179-248)",
-        f"on the same synthetic chirp dataset (4 positions x 24 train "
+        f"on the same synthetic chirp dataset (4 positions x 40 train "
         f"items, L={SAMPLE_NUM * RF_SCALE}, x{UPSAMPLE} upsample), then "
         "evaluated with the shared benchmark pipeline (torch weights via "
         "the golden-tested .pth importer). Bitwise parity is out of scope "
