@@ -495,6 +495,7 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         "step": int(state.step),
         "epoch": int(epochs_run),
     })
+    logger.log_artifact(path, name)  # W&B mirror (main.py:428-430)
     summary = {"val_loss": val_loss, "checkpoint": str(path),
                "epochs": epochs_run}
     if cfg.get("export_pth") and cfg.model.lower() != "gradpeak":

@@ -77,6 +77,26 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_artifact(self, path: str | Path, name: str,
+                     kind: str = "model") -> None:
+        """Mirror a file/dir to W&B as an artifact (the reference's final
+        checkpoint upload, main.py:428-430). Local runs already have the
+        file on disk; this is W&B-only."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            art = wandb.Artifact(name, type=kind)
+            p = Path(path)
+            if p.is_dir():
+                art.add_dir(str(p))
+            else:
+                art.add_file(str(p))
+            self._wandb.log_artifact(art)
+        except Exception:
+            pass
+
     def set_summary(self, **kwargs: Any) -> None:
         self.summary.update({k: _jsonable(v) for k, v in kwargs.items()})
 

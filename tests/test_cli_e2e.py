@@ -154,6 +154,22 @@ def test_train_batchnorm_models_e2e(model, chirp_root, tmp_path):
     assert Path(out["checkpoint"]).exists()
 
 
+def test_train_zonzini_regression_path(chirp_root, tmp_path):
+    """The regression train path (scalar ToA MSE, main.py:233-241) through
+    the CLI: train one epoch, then evaluate the produced checkpoint."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="zonzini", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, plot_interval=0)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    cfg2 = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                    batch_size=2, model="zonzini",
+                    model_file=Path(out["checkpoint"]).name,
+                    rf_scale_factor=4, max_echoes=8, etol=1e9)
+    out2 = run(cfg2)
+    assert np.isfinite(out2["total_distance_mean"])
+
+
 def test_train_export_pth(chirp_root, tmp_path):
     """export_pth=True writes a reference-compatible .pth next to the
     orbax checkpoint."""
