@@ -18,6 +18,11 @@ class AttrDict(dict):
     __setattr__ = dict.__setitem__
 
 
+def _bparams(param) -> BeamformParams:
+    return BeamformParams(xe=param.xe, c=param.c, fs=param.fs, t0=param.t0,
+                          f0=param.f0, angles_list=param.angles_list)
+
+
 @pytest.mark.parametrize("lo,hi", [(4, -1), (2, 10)])
 def test_svd_filter_matches_reference(rng, lo, hi):
     from utils.svd_filter import svd_filter as ref_svd
@@ -57,6 +62,59 @@ def test_svd_filter_db_matches_numpy_svd(rng):
     # the dominant static component is >30x the signal; filtering must cut
     # the ensemble's energy by at least an order of magnitude
     assert np.linalg.norm(got) < 0.1 * np.linalg.norm(ens)
+
+
+def test_das_rx_batch_matches_per_frame(rng):
+    """Banded-matmul frame-batched beamforming == per-frame gather path."""
+    from stofnet_tpu.ops.beamform import das_rx_batch, make_delay_table
+    from stofnet_tpu.ops.beamform import das_rx_apply
+
+    k, n, f = 16, 256, 5
+    params = _make_acq(rng, n_angles=1, n_samples=n, k=k)[1]
+    xg, zg = np.meshgrid(params.param_x, params.param_z)
+    table = make_delay_table(
+        _bparams(params), 0.05, xg.ravel(), zg.ravel(), n, iq=True)
+
+    sigs = (rng.standard_normal((f, n, k)) +
+            1j * rng.standard_normal((f, n, k))).astype(np.complex64)
+    batched = np.asarray(das_rx_batch(jnp.asarray(sigs), table))
+    for i in range(f):
+        ref = np.asarray(das_rx_apply(jnp.asarray(sigs[i]), table))
+        np.testing.assert_allclose(batched[i], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_das_rx_batch_real_rf(rng):
+    """RF (real) input path: phase rotation still produces the complex
+    analytic sum; matches the per-frame path."""
+    from stofnet_tpu.ops.beamform import (
+        das_rx_apply, das_rx_batch, make_delay_table,
+    )
+
+    k, n, f = 8, 128, 3
+    params = _make_acq(rng, n_angles=1, n_samples=n, k=k)[1]
+    xg, zg = np.meshgrid(params.param_x, params.param_z)
+    table = make_delay_table(
+        _bparams(params), 0.0, xg.ravel(), zg.ravel(), n, iq=True)
+    sigs = rng.standard_normal((f, n, k)).astype(np.float32)
+    batched = np.asarray(das_rx_batch(jnp.asarray(sigs), table))
+    for i in range(f):
+        ref = np.asarray(das_rx_apply(jnp.asarray(sigs[i] + 0j), table))
+        np.testing.assert_allclose(batched[i], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bf_das_batch_matches_single(rng):
+    from stofnet_tpu.ops.beamform import bf_das, bf_das_batch
+
+    sig, params = _make_acq(rng, n_angles=2, n_samples=256, k=16)
+    bp = _bparams(params)
+    one = np.asarray(bf_das(jnp.asarray(sig), bp, params.param_x,
+                            params.param_z))
+    frames = jnp.asarray(np.stack([sig, sig * 0.5]))
+    batch = np.asarray(bf_das_batch(frames, bp, params.param_x,
+                                    params.param_z))
+    np.testing.assert_allclose(batch[0], one, rtol=2e-3, atol=2e-3)
+    # dB image is scale-invariant after per-frame normalization
+    np.testing.assert_allclose(batch[1], one, rtol=2e-3, atol=2e-3)
 
 
 def test_pala_clutter_filter_uses_ops(rng):
