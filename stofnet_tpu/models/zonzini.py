@@ -26,6 +26,12 @@ class _ZonziniNet(nn.Module):
         if self.dtype is not None:
             h = h.astype(self.dtype)
         for i, ch in enumerate(self.channels):
+            if h.shape[1] < 10:
+                raise ValueError(
+                    f"ZonziniNet stage {i}: length {h.shape[1]} < kernel 10 "
+                    f"(input L={x.shape[-1]} too short for "
+                    f"{len(self.channels)} stride-4 stages; the VALID conv "
+                    f"would emit width 0 and the global pool NaN)")
             h = nn.Conv(ch, (10,), strides=(2,), padding="VALID",
                         dtype=self.dtype, name=f"conv{i}",
                         **torch_default(10, h.shape[-1]))(h)

@@ -125,6 +125,21 @@ def test_from_scratch_init_matches_torch_defaults():
     assert np.all(np.asarray(e["conv3"]["bias"]) == 0)
 
 
+def test_zonzini_rejects_underflow_length():
+    """Too-short inputs raise a clear error instead of emitting a 0-width
+    VALID conv whose global pool silently NaNs (found training on TPU at
+    rf_scale=2: stage 4 underflows below L=1600)."""
+    from stofnet_tpu.models import ZonziniNetSmall
+
+    model = ZonziniNetSmall()
+    with pytest.raises(ValueError, match="too short"):
+        model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+    # adequate length still works
+    v = model.init(jax.random.key(0), jnp.zeros((1, 1, 1600)))
+    out = model.apply(v, jnp.zeros((2, 1, 1600)))
+    assert out.shape == (2, 1) and np.isfinite(np.asarray(out)).all()
+
+
 def test_deterministic_model_train_step_unchanged(rng):
     """BN-free models keep an empty batch_stats and still train."""
     from stofnet_tpu.models import ESPCN1D
