@@ -7,7 +7,10 @@ SemiGlobalBlock's contract conv + 80x max-pool through the Pallas kernel
 VMEM tiles instead of HBM. That tensor is the model's dominant memory
 traffic (16 MB/waveform round trip) and its OOM cliff (B>=2048 at L=8k).
 
-Inference-only (the kernel defines no VJP); training uses the flax module.
+This path is inference-oriented; training normally uses the flax module.
+For training at batches where XLA's forward OOMs (B>=2048, L=8k), the SGB
+op has a differentiable fused variant with a custom VJP —
+ops/pallas/sgb_kernel.py:sgb_contract_pool_trainable.
 """
 
 from __future__ import annotations

@@ -32,8 +32,13 @@ batch because the MXU is already well-fed there and the kernel pays lane
 padding (64->128 contraction) plus misaligned tap shifts. Its proven value
 is the memory cliff: at B=2048 the XLA path is a hard compile-time OOM
 ("Used 17.58G of 15.75G hbm") while this kernel runs and decodes — see
-bench.py --oom-demo. bench.py measures both paths and serves the faster.
-Exactness is tested in tests/test_pallas_kernels.py.
+bench.py --oom-demo — and TRAINS: ``sgb_contract_pool_trainable`` carries
+a custom VJP whose backward routes cotangents through per-window argmax
+offsets, so the dense (B, L, F) conv output is never materialized in
+either pass (full h/kernel/bias gradients verified on hardware at B=2048,
+and exact vs jax.grad of the XLA expression in tests). bench.py measures
+both paths and serves the faster. Exactness is tested in
+tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -75,12 +80,14 @@ def _pick_tile(length: int) -> Optional[int]:
     return None
 
 
-def _kernel(x_ref, halo_ref, w_ref, b_ref, o_ref, *, tile: int,
-            negative_slope: float):
+def _kernel(x_ref, halo_ref, w_ref, b_ref, o_ref, off_ref=None, *, tile: int,
+            negative_slope: float, with_argmax: bool = False):
     # x_ref: (1, tile, 128) this tile's features (no halo)
     # halo_ref: (1, 1, 8, 128): rows 0:2 left-neighbor edge, 2:4 right edge
     # w_ref: (K, 128, 512) per-tap weights; b_ref: (1, 512) bias
     # o_ref: (1, 1, rows_pad, 512) pooled+activated output block
+    # off_ref: (1, 1, rows_pad, 512) int32 within-window argmax offsets
+    #          (only when with_argmax; needed by the custom VJP)
     halo = halo_ref[0, 0]
     x = jnp.concatenate(
         [halo[0:2], x_ref[0], halo[2:4]], axis=0)  # (tile+4, 128)
@@ -91,31 +98,25 @@ def _kernel(x_ref, halo_ref, w_ref, b_ref, o_ref, *, tile: int,
         y = y + jnp.dot(x[k: k + tile], w_ref[k],
                         preferred_element_type=jnp.float32)
     rows = tile // POOL
-    y = jnp.max(y.reshape(rows, POOL, y.shape[-1]), axis=1)
-    y = jnp.where(y >= 0, y, negative_slope * y)  # leaky after pool (exact)
+    f = y.shape[-1]
+    y3 = y.reshape(rows, POOL, f)
+    m = jnp.max(y3, axis=1)
     rows_pad = o_ref.shape[2]
+    if with_argmax:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, POOL, f), 1)
+        off = jnp.min(jnp.where(y3 == m[:, None, :], iota, POOL), axis=1)
+        if rows_pad != rows:
+            off = jnp.concatenate(
+                [off, jnp.zeros((rows_pad - rows, f), off.dtype)], axis=0)
+        off_ref[0, 0] = off
+    out = jnp.where(m >= 0, m, negative_slope * m)  # leaky after pool (exact)
     if rows_pad != rows:
-        y = jnp.concatenate(
-            [y, jnp.zeros((rows_pad - rows, y.shape[-1]), y.dtype)], axis=0)
-    o_ref[0, 0] = y.astype(o_ref.dtype)
+        out = jnp.concatenate(
+            [out, jnp.zeros((rows_pad - rows, f), out.dtype)], axis=0)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("negative_slope", "interpret"))
-def sgb_contract_pool(
-    h: jnp.ndarray,
-    kernel: jnp.ndarray,
-    bias: jnp.ndarray,
-    negative_slope: float = 0.01,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """leaky(maxpool80(conv1d_same(h, kernel) + bias)) fused in VMEM.
-
-    Args:
-        h: (B, L, C=64) features; L must be divisible by 80.
-        kernel: (5, 64, F=512) conv weights (flax layout).
-        bias: (F,).
-    Returns: (B, L//80, F) in h.dtype.
-    """
+def _run(h, kernel, bias, negative_slope, interpret, with_argmax):
     b, length, c = h.shape
     kk, ck, f = kernel.shape
     assert kk == K and ck == c and length % POOL == 0
@@ -138,8 +139,19 @@ def sgb_contract_pool(
     rows = tile // POOL
     rows_pad = -(-rows // 8) * 8  # 8-sublane alignment for the out block
     grid = (b, n_tiles)
+    out_spec = pl.BlockSpec((1, 1, rows_pad, f), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n_tiles, rows_pad, f), h.dtype)
+    if with_argmax:
+        out_specs = (out_spec, out_spec)
+        out_shapes = (out_shape,
+                      jax.ShapeDtypeStruct((b, n_tiles, rows_pad, f),
+                                           jnp.int32))
+    else:
+        out_specs, out_shapes = out_spec, out_shape
     out = pl.pallas_call(
-        functools.partial(_kernel, tile=tile, negative_slope=negative_slope),
+        functools.partial(_kernel, tile=tile, negative_slope=negative_slope,
+                          with_argmax=with_argmax),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, CPAD), lambda i, j: (i, j, 0),
@@ -149,10 +161,118 @@ def sgb_contract_pool(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rows_pad, f),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, rows_pad, f), h.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
     )(hp, halo, w2, b2)
-    return out[:, :, :rows, :].reshape(b, length // POOL, f)
+
+    def crop(o):
+        return o[:, :, :rows, :].reshape(b, length // POOL, f)
+
+    if with_argmax:
+        return crop(out[0]), crop(out[1])
+    return crop(out)
+
+
+@functools.partial(jax.jit, static_argnames=("negative_slope", "interpret"))
+def sgb_contract_pool(
+    h: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    negative_slope: float = 0.01,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """leaky(maxpool80(conv1d_same(h, kernel) + bias)) fused in VMEM.
+
+    Args:
+        h: (B, L, C=64) features; L must be divisible by 80.
+        kernel: (5, 64, F=512) conv weights (flax layout).
+        bias: (F,).
+    Returns: (B, L//80, F) in h.dtype.
+    """
+    return _run(h, kernel, bias, negative_slope, interpret,
+                with_argmax=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sgb_contract_pool_trainable(h, kernel, bias, negative_slope=0.01,
+                                interpret=False):
+    """Differentiable fused SGB contract+pool (enables B>=2048 TRAINING
+    where the XLA path compile-OOMs on the (B, L, 512) intermediate).
+
+    The forward kernel additionally emits per-window argmax offsets; the
+    backward routes cotangents through the sparse pool selection, so
+    neither pass ever materializes the dense (B, L, F) conv output:
+
+    - d(bias): sum of (leaky-adjusted) pooled cotangents.
+    - d(kernel), d(h): a lax.scan over output channels; each step scatters
+      the channel's R=L/80 cotangents to a dense (B, L) plane, contracts
+      it with the K tap-shifted inputs for d(kernel), and expands it with
+      the channel's tap weights via an (B, L, K) @ (K, C) matmul for d(h).
+      Peak extra memory is one (B, L) f32 plane + the (B, L, C) d(h)
+      accumulator — independent of F.
+
+    Gradients match jax.grad of the XLA expression exactly away from
+    pooling ties (both route a tie to one window element).
+    """
+    return _run(h, kernel, bias, negative_slope, interpret,
+                with_argmax=False)
+
+
+def _trainable_fwd(h, kernel, bias, negative_slope, interpret):
+    pooled, off = _run(h, kernel, bias, negative_slope, interpret,
+                       with_argmax=True)
+    return pooled, (h, kernel, pooled, off)
+
+
+def _trainable_bwd(negative_slope, interpret, res, g):
+    h, kernel, pooled, off = res
+    b, length, c = h.shape
+    kk, _, f = kernel.shape
+    rows = length // POOL
+
+    # undo the (monotone) leaky activation: pooled sign == pre-pool sign
+    g_pre = jnp.where(pooled >= 0, g, negative_slope * g).astype(jnp.float32)
+    dbias = jnp.sum(g_pre, axis=(0, 1)).astype(kernel.dtype)
+
+    # absolute conv-output positions selected by the pool, per (b, r, f)
+    abs_pos = off + (jnp.arange(rows, dtype=jnp.int32) * POOL)[None, :, None]
+
+    # keep the (large) padded input in its storage dtype; contractions
+    # accumulate in f32 (an f32 copy would add 2x(B, L, C)x4 bytes and
+    # re-create the OOM this path exists to avoid)
+    hz = jnp.pad(h, ((0, 0), (PAD, PAD), (0, 0)))  # (B, L+4, C)
+    batch_ix = jnp.arange(b)[:, None]
+    wf = kernel.astype(jnp.float32)
+
+    def per_channel(dh_acc, fi):
+        gf = g_pre[:, :, fi]  # (B, R)
+        posf = abs_pos[:, :, fi]  # (B, R)
+        # dense cotangent plane for this channel (windows are disjoint, so
+        # positions within a row are unique -> plain scatter)
+        dyc = jnp.zeros((b, length), jnp.float32).at[batch_ix, posf].add(gf)
+        # d(kernel)[t, :, fi] = sum_{b,p} dyc[b,p] * h[b, p+t-2, :]
+        dw_f = jnp.stack([
+            jnp.einsum("bp,bpi->i", dyc.astype(h.dtype),
+                       hz[:, t: t + length, :],
+                       preferred_element_type=jnp.float32)
+            for t in range(K)
+        ])  # (K, C)
+        # d(h)[b, q, :] += sum_t dyc[b, q - t + 2] * kernel[t, :, fi]
+        # (y[p] reads h[p + t - 2], so h[q] feeds y at p = q - t + 2)
+        dyc_pad = jnp.pad(dyc, ((0, 0), (PAD, PAD)))
+        dyc_taps = jnp.stack([
+            dyc_pad[:, 2 * PAD - t: 2 * PAD - t + length]
+            for t in range(K)
+        ], axis=-1)  # (B, L, K)
+        dh_f = dyc_taps @ wf[:, :, fi]  # (B, L, C)
+        return dh_acc + dh_f, dw_f
+
+    dh, dws = jax.lax.scan(per_channel, jnp.zeros((b, length, c),
+                                                  jnp.float32),
+                           jnp.arange(f))
+    dkernel = jnp.transpose(dws, (1, 2, 0))  # (F, K, C) -> (K, C, F)
+    return (dh.astype(h.dtype), dkernel.astype(kernel.dtype), dbias)
+
+
+sgb_contract_pool_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -118,3 +118,43 @@ def test_conv_stack_window_stitch_seams(rng):
                             p["conv_last"]["bias"]))
     np.testing.assert_allclose(out, ref, rtol=1e-4,
                                atol=1e-5 * np.abs(ref).max())
+
+
+def test_sgb_trainable_grads_match_xla(rng):
+    """Custom-VJP fused SGB: gradients equal jax.grad of the XLA
+    expression leaky(maxpool80(conv_same(h, w) + b)) for h, w, and b —
+    the backward routes cotangents through the argmax without ever
+    materializing the dense (B, L, F) conv output."""
+    from jax import lax
+
+    from stofnet_tpu.ops.pallas.sgb_kernel import sgb_contract_pool_trainable
+
+    b, length, c, f = 2, 240, 64, 512
+    h = jnp.asarray(rng.standard_normal((b, length, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, c, f)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((f,)).astype(np.float32) * 0.1)
+    # downstream cotangent shaping: a weighted sum keeps every output used
+    probe = jnp.asarray(rng.standard_normal((b, length // 80, f))
+                        .astype(np.float32))
+
+    def xla_fn(h, w, bias):
+        y = lax.conv_general_dilated(
+            h, w, (1,), [(2, 2)], dimension_numbers=("NHC", "HIO", "NHC"))
+        y = y + bias
+        y = y.reshape(b, length // 80, 80, f).max(axis=2)
+        y = jax.nn.leaky_relu(y, 0.01)
+        return jnp.sum(y * probe)
+
+    def fused_fn(h, w, bias):
+        y = sgb_contract_pool_trainable(h, w, bias, 0.01, True)
+        return jnp.sum(y * probe)
+
+    ref_val, ref_grads = jax.value_and_grad(xla_fn, argnums=(0, 1, 2))(
+        h, w, bias)
+    got_val, got_grads = jax.value_and_grad(fused_fn, argnums=(0, 1, 2))(
+        h, w, bias)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
+    for g_got, g_ref, name in zip(got_grads, ref_grads, "h w bias".split()):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
