@@ -149,11 +149,13 @@ def sustained_wf_s(body_fn, variables, batch, k):
 
     xs = stage(jax.random.key(0))  # ~205 MB staged in HBM
     np.asarray(run(variables, xs))  # compile + warm
-    t0 = time.perf_counter()
-    cs = np.asarray(run(variables, xs))
-    dt = time.perf_counter() - t0
-    assert cs.shape == (k, batch, 8)
-    return batch * k / dt, dt / k
+    best = float("inf")
+    for _ in range(3):  # best-of-3: relay/chip load varies +-20% run-to-run
+        t0 = time.perf_counter()
+        cs = np.asarray(run(variables, xs))
+        best = min(best, time.perf_counter() - t0)
+        assert cs.shape == (k, batch, 8)
+    return batch * k / best, best / k
 
 
 def host_fed_wf_s(pipe, variables, batches, iters=10):
