@@ -138,6 +138,21 @@ def test_pipeline_batches_pairs_host_device(chirp_root):
     assert n == len(dl)
 
 
+def test_pipeline_batches_empty():
+    from stofnet_tpu.data.loader import pipeline_batches
+
+    assert list(pipeline_batches(iter(()), lambda b: b)) == []
+
+
+def test_threaded_loader_empty_and_single(chirp_root):
+    ds = ChirpDataset(chirp_root, split_dirname="test", rf_scale_factor=4)
+    dl = DataLoader(ds, indices=[], batch_size=2, num_workers=2)
+    assert list(dl) == []
+    dl1 = DataLoader(ds, indices=[0], batch_size=2, num_workers=2)
+    batches = list(dl1)
+    assert len(batches) == 1 and batches[0][1].shape[0] == 1
+
+
 def test_prefetch_to_device(chirp_root):
     from stofnet_tpu.data.loader import prefetch_to_device
 

@@ -108,6 +108,16 @@ def test_eval_step_runs(setup):
     assert out["toa_metrics"].shape == (8, 7)
     assert np.isfinite(float(out["loss"]))
 
+    # the timed halves compose to the same result (driver protocol:
+    # forward timed alone like main.py:313-315, then finish)
+    pred, checksum = eval_step.forward(variables, jnp.asarray(frame))
+    assert np.isfinite(float(checksum))
+    out2 = eval_step.finish(pred, gt_sample, gt_true)
+    np.testing.assert_allclose(np.asarray(out2["toa_metrics"]),
+                               np.asarray(out["toa_metrics"]),
+                               equal_nan=True)
+    np.testing.assert_allclose(float(out2["loss"]), float(out["loss"]))
+
 
 def test_sp_long_sequence_forward():
     """Long-context demonstration: a 16k-sample waveform sharded 8-way on
