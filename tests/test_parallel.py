@@ -119,6 +119,77 @@ def test_eval_step_runs(setup):
     np.testing.assert_allclose(float(out2["loss"]), float(out["loss"]))
 
 
+def test_batchnorm_train_step_dp_matches_single():
+    """Synchronized BatchNorm for free: under dp sharding the train step's
+    batch statistics are computed over the GLOBAL batch by GSPMD (torch
+    needs SyncBatchNorm for this), so sharded training is bit-compatible
+    with single-device training — stats, params, and loss."""
+    from stofnet_tpu.models import SincNet
+    from stofnet_tpu.train.steps import init_train_state
+
+    model = SincNet(sample_rate=1e6)
+    length = 640
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+    rng = np.random.default_rng(3)
+    frame = rng.standard_normal((8, 1, length)).astype(np.float32)
+    gt = rng.uniform(5, length - 5, (8, 1)).astype(np.float32)
+    gt_true = np.round(gt[:, None, :]).astype(np.int32)
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=1, max_echoes=8)
+    step = make_train_step(model, optimizer, cfg)
+    state = init_train_state(variables, optimizer)
+
+    s1, a1 = step(state, jnp.asarray(frame), jnp.asarray(gt),
+                  jnp.asarray(gt_true))
+
+    mesh = make_mesh(dp=8, sp=1)
+    rep = replicate(mesh)
+    state_sh = jax.tree.map(lambda _: rep, state)
+    fsh = batch_sharding(mesh, 3)
+    s2, a2 = jax.jit(step, in_shardings=(
+        state_sh, fsh, batch_sharding(mesh, 2), batch_sharding(mesh, 3)))(
+        jax.device_put(state, state_sh),
+        jax.device_put(jnp.asarray(frame), fsh),
+        jax.device_put(jnp.asarray(gt), batch_sharding(mesh, 2)),
+        jax.device_put(jnp.asarray(gt_true), batch_sharding(mesh, 3)))
+
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]),
+                               rtol=1e-5)
+    # the sync-BN claim: global-batch running statistics are identical
+    for x, y in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+    # post-Adam params are NOT compared: near-zero gradients get sign
+    # flips from f32 reduction-order differences which Adam amplifies to
+    # +-lr at step 1. The underlying gradients must agree:
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    def grads_of(variables, frame_d, gt_true_d):
+        def loss_fn(params):
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                frame_d, train=True, rngs={"dropout": jax.random.key(0)},
+                mutable=["batch_stats"])
+            loss, _ = heatmap_loss(pred, gt_true_d)
+            return loss
+        return jax.grad(loss_fn)(variables["params"])
+
+    g_single = grads_of(variables, jnp.asarray(frame),
+                        jnp.asarray(gt_true))
+    g_mesh = jax.jit(grads_of, in_shardings=(
+        jax.tree.map(lambda _: rep, variables), fsh,
+        batch_sharding(mesh, 3)))(
+        jax.device_put(variables, rep),
+        jax.device_put(jnp.asarray(frame), fsh),
+        jax.device_put(jnp.asarray(gt_true), batch_sharding(mesh, 3)))
+    for x, y in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        scale = max(float(np.abs(np.asarray(x)).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-4 * scale)
+
+
 def test_sp_long_sequence_forward():
     """Long-context demonstration: a 16k-sample waveform sharded 8-way on
     the sample axis (GSPMD halo exchange through the whole conv stack +
