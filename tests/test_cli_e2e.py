@@ -141,10 +141,11 @@ def test_train_resume(chirp_root, tmp_path):
     assert Path(out2["checkpoint"]).name.endswith("epoch_2")
 
 
-@pytest.mark.parametrize("model", ["sincnet", "unet", "kuleshov"])
+@pytest.mark.parametrize("model", ["sincnet", "unet", "kuleshov", "edsr"])
 def test_train_batchnorm_models_e2e(model, chirp_root, tmp_path):
     """The reference trains its whole zoo (main.py:198-289); BN/dropout
-    models must train through the CLI too (round-1 crash regression)."""
+    models must train through the CLI too (round-1 crash regression).
+    edsr rounds out the model axis (stofnet/espcn/zonzini covered below)."""
     cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
                    batch_size=2, model=model, epochs=1,
                    rf_scale_factor=2, max_echoes=8, crop_ratio=0.75,
