@@ -27,9 +27,15 @@ lane-concat of sublane-shifted views, dynamic sublane starts must be
 provably 8-aligned, DMA slices of 64-lane arrays trip 128-lane tiling.
 
 Measured (v5e via axon relay, 2026-08, B=128 L=8000, device-side stream):
-this kernel 12.3 ms/batch vs XLA conv+pool 7.1 ms — XLA wins at default
-batch because the MXU is already well-fed there and the kernel pays lane
-padding (64->128 contraction) plus misaligned tap shifts. Its proven value
+this kernel 12.3 ms/batch vs XLA conv+pool 7.1 ms. Root cause isolated
+with reduce-only probe kernels: Pallas-side input consumption on this
+backend runs at ~50-60 GB/s effective (vs ~800 GB/s for XLA ops on the
+same data) — a kernel that merely READS the (B, L, 128) input costs
+4.3-5.7 ms, regardless of block size (0.5-4 MB), grid shape, or
+dimension_semantics, so no kernel of this shape can beat XLA here
+irrespective of its design. On a directly-attached TPU with a standard
+toolchain the fusion arithmetic favors this kernel (it deletes ~2.1 GB of
+HBM round-trip per batch); re-measure before dismissing it elsewhere. Its proven value
 is the memory cliff: at B=2048 the XLA path is a hard compile-time OOM
 ("Used 17.58G of 15.75G hbm") while this kernel runs and decodes — see
 bench.py --oom-demo — and TRAINS: ``sgb_contract_pool_trainable`` carries
