@@ -126,6 +126,7 @@ def build_dataset(cfg: Config):
             split_dirname="test" if cfg.evaluate else "train",
             rf_scale_factor=cfg.rf_scale_factor,
             transforms=Compose(tf),
+            seed=int(cfg.seed),
         )
         info = {"kind": kind, "fs": float(ds.cfg["fhz_sample"]),
                 "c": float(ds.cfg["speed_of_sound"]),
@@ -146,6 +147,7 @@ def build_dataset(cfg: Config):
             temporal_filter_opt=(kind == "rat"),
             pow_law_opt=cfg.pow_law_opt,
             transforms=Compose(tf),
+            seed=int(cfg.seed),
         )
         info = {"kind": kind, "fs": float(ds.get_key("fs")),
                 "c": float(ds.get_key("c")),

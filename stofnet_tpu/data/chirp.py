@@ -21,6 +21,7 @@ host numpy so workers can prefetch).
 
 from __future__ import annotations
 
+import itertools
 from pathlib import Path
 from typing import List, Tuple
 
@@ -49,11 +50,17 @@ def iq2rf_host(iq: np.ndarray, fc: float, fs: float, rescale_factor: float):
 
 class ChirpDataset:
     def __init__(self, root_dir, split_dirname: str = "test",
-                 rf_scale_factor: int = 10, transforms=None):
+                 rf_scale_factor: int = 10, transforms=None, seed: int = 0):
         self.root_dir = Path(root_dir)
         self.split_dirname = split_dirname
         self.rf_scale_factor = rf_scale_factor
         self.transforms = transforms
+        # per-call augmentation rng = f(seed, item, draw#): thread-safe under
+        # the thread-pool loader (a shared Generator is not) and still
+        # epoch-varying like the reference's worker processes; next() on the
+        # counter is atomic under the GIL
+        self._seed = int(seed)
+        self._draw = itertools.count()
 
         with open(self.root_dir / "sensor_specs.yaml") as f:
             self.cfg = dict(yaml.safe_load(f))
@@ -126,9 +133,10 @@ class ChirpDataset:
         envelope = upscale_1d(envelope, self.rf_scale_factor)
 
         if self.transforms is not None:
-            envelope, _ = self.transforms(envelope, gt_sample)
-            rf, gt_sample = self.transforms(rf, gt_sample)
-            rf_gt, _ = self.transforms(rf_gt, gt_sample)
+            rng = np.random.default_rng((self._seed, idx, next(self._draw)))
+            envelope, _ = self.transforms(envelope, gt_sample, rng=rng)
+            rf, gt_sample = self.transforms(rf, gt_sample, rng=rng)
+            rf_gt, _ = self.transforms(rf_gt, gt_sample, rng=rng)
 
         return (envelope.astype(np.float32), rf.astype(np.float32),
                 rf_gt.astype(np.float32), np.float32(gt_sample),

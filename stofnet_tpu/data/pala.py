@@ -36,6 +36,7 @@ submodule math is unrecoverable.
 
 from __future__ import annotations
 
+import itertools
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -51,12 +52,14 @@ class PalaDatasetRf:
                  ch_gap: int = 1, angle_threshold: float = 45.0,
                  clutter_db: Optional[float] = None,
                  temporal_filter_opt: bool = False, pow_law_opt: bool = False,
-                 transforms=None):
+                 transforms=None, seed: int = 0):
         self.root = Path(dataset_path)
         self.rescale_factor = int(rescale_factor)
         self.ch_gap = max(int(ch_gap), 1)
         self.angle_threshold = float(angle_threshold)
         self.transforms = transforms
+        self._seed = int(seed)
+        self._draw = itertools.count()  # see chirp.py: thread-safe aug rng
 
         with open(self.root / "pala_config.yaml") as f:
             self.cfg = dict(yaml.safe_load(f))
@@ -148,11 +151,12 @@ class PalaDatasetRf:
         gt = self._gt_samples(self.positions[idx])
 
         if self.transforms is not None:
+            rng = np.random.default_rng((self._seed, idx, next(self._draw)))
             waves = []
             for w in range(frame.shape[0]):
                 chans = []
                 for c_ in range(frame.shape[1]):
-                    wf, _ = self.transforms(frame[w, c_], None)
+                    wf, _ = self.transforms(frame[w, c_], None, rng=rng)
                     chans.append(wf)
                 waves.append(np.stack(chans))
             frame = np.stack(waves).astype(np.float32)

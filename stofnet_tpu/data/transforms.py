@@ -7,7 +7,12 @@ run in the numpy input pipeline (per worker / per item), matching the
 reference's distributions; bitwise RNG parity with torch workers is a
 non-goal (SURVEY.md "hard parts").
 
-Every transform is ``(waveform, gt) -> (waveform, gt)``; gt may be None.
+Every transform is ``(waveform, gt, rng=None) -> (waveform, gt)``; gt may
+be None. Randomized transforms draw from the per-call ``rng`` when given —
+datasets pass a generator derived from (seed, item index), which makes
+augmentation (a) thread-safe under the thread-pool DataLoader (a shared
+Generator is not) and (b) reproducible independent of loading order — or
+fall back to their constructor-time generator.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import numpy as np
 class NormalizeVol:
     """Scale to unit peak amplitude."""
 
-    def __call__(self, waveform: np.ndarray, gt=None):
+    def __call__(self, waveform: np.ndarray, gt=None, rng=None):
         return waveform / np.abs(waveform).max(), gt
 
 
@@ -32,9 +37,10 @@ class AddNoise:
         self.snr = snr
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, waveform: np.ndarray, gt=None):
+    def __call__(self, waveform: np.ndarray, gt=None, rng=None):
+        rng = rng or self.rng
         mean, spread = (0.5, 2.0) if (waveform < 0).any() else (0.0, 1.0)
-        noise = spread * (self.rng.random(waveform.shape) - mean)
+        noise = spread * (rng.random(waveform.shape) - mean)
         scale = (10 ** (-self.snr / 10)
                  * (np.sum(waveform ** 2) / np.sum(noise ** 2))) ** 0.5
         return waveform + noise * scale, gt
@@ -51,8 +57,9 @@ class CropChannelData:
         self.resize = resize
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, waveform: np.ndarray, gt: float):
-        ratio = self.ratio if self.ratio is not None else float(self.rng.random())
+    def __call__(self, waveform: np.ndarray, gt: float, rng=None):
+        rng = rng or self.rng
+        ratio = self.ratio if self.ratio is not None else float(rng.random())
         if not (0 < ratio < 1):
             return waveform, gt
 
@@ -71,7 +78,7 @@ class CropChannelData:
         max_dist = min(ref - start, end - ref)
         lo = -min(start, max_dist // 2)
         hi = min(size - end, max_dist // 2)
-        shift = int(self.rng.integers(lo, hi)) if hi > lo else lo
+        shift = int(rng.integers(lo, hi)) if hi > lo else lo
         start += shift
         end += shift
 
@@ -90,12 +97,12 @@ class CropChannelData:
 
 
 class Compose:
-    """Apply transforms in order, threading (waveform, gt)."""
+    """Apply transforms in order, threading (waveform, gt[, rng])."""
 
     def __init__(self, transforms):
         self.transforms = list(transforms)
 
-    def __call__(self, waveform, gt=None):
+    def __call__(self, waveform, gt=None, rng=None):
         for t in self.transforms:
-            waveform, gt = t(waveform, gt)
+            waveform, gt = t(waveform, gt, rng=rng)
         return waveform, gt

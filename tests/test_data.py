@@ -138,6 +138,31 @@ def test_pipeline_batches_pairs_host_device(chirp_root):
     assert n == len(dl)
 
 
+def test_augmentation_rng_thread_safe(chirp_root):
+    """Randomized transforms draw from a per-item generator, so concurrent
+    __getitem__ (thread-pool loader) cannot race a shared Generator, and a
+    fixed (seed, idx, draw#) tuple reproduces the augmentation."""
+    from stofnet_tpu.data.transforms import (
+        AddNoise, Compose, CropChannelData, NormalizeVol,
+    )
+
+    tf = Compose([NormalizeVol(), CropChannelData(ratio=0.75),
+                  AddNoise(snr=30)])
+    ds1 = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4,
+                       transforms=tf, seed=5)
+    ds2 = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4,
+                       transforms=tf, seed=5)
+    # same (seed, idx, draw#) -> identical augmented items even though the
+    # transform objects are shared across dataset instances
+    a = ds1[0]
+    b = ds2[0]
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(np.float32(a[3]), np.float32(b[3]))
+    # second draw of the same item differs (epoch-varying augmentation)
+    c = ds1[0]
+    assert not np.array_equal(a[1], c[1])
+
+
 def test_pipeline_batches_empty():
     from stofnet_tpu.data.loader import pipeline_batches
 
