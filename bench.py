@@ -31,11 +31,12 @@ Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
 CPU PyTorch reference (6.9 waveforms/s, BASELINE.md). Extra keys carry the
 per-path numbers.
 
-Usage: python bench.py [--oom-demo]
+Usage: python bench.py [--oom-demo | --scaling]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
   Pallas-fused SGB keeps it in VMEM tiles) and print one JSON line with
   the outcome of both paths.
+  --scaling: batch-size scaling curve (B=16..1024) of the XLA pipeline.
 """
 
 from __future__ import annotations
@@ -242,6 +243,28 @@ def oom_demo():
                       **results}))
 
 
+def scaling() -> None:
+    """Throughput vs batch size for the bf16 XLA pipeline."""
+    import jax.numpy as jnp
+
+    variables, overrides = setup()
+    pipe = make_xla_pipeline(overrides, jnp.bfloat16)
+    curve = {}
+    for batch in (16, 32, 64, 128, 256, 512, 1024):
+        k = max(8, min(50, 4096 // batch))
+        try:
+            wf_s, dt = sustained_wf_s(pipe, variables, batch, k)
+            curve[f"b{batch}"] = round(wf_s, 1)
+            log(f"B={batch} k={k}: {dt * 1e3:.2f} ms/batch "
+                f"-> {wf_s:.1f} wf/s")
+        except Exception as e:
+            curve[f"b{batch}"] = f"{type(e).__name__}"
+            log(f"B={batch}: {type(e).__name__}")
+    print(json.dumps({"metric": "stofnet_throughput_scaling", "value": 1.0,
+                      "unit": "waveforms/s/chip per batch size",
+                      "vs_baseline": 1.0, **curve}))
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -320,5 +343,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--oom-demo" in sys.argv:
         oom_demo()
+    elif "--scaling" in sys.argv:
+        scaling()
     else:
         main()

@@ -83,7 +83,13 @@ def _shard_inputs(mesh, frame, gt, gt_true):
 
     from stofnet_tpu.parallel import batch_seq_sharding, batch_sharding
 
-    sp = mesh.shape["sp"]
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    if frame.shape[0] % dp:
+        raise ValueError(
+            f"batch_size={frame.shape[0]} not divisible by mesh_dp={dp}")
+    if sp > 1 and frame.shape[-1] % sp:
+        raise ValueError(
+            f"sample length {frame.shape[-1]} not divisible by mesh_sp={sp}")
     fsh = (batch_seq_sharding(mesh, 3, seq_axis=2) if sp > 1
            else batch_sharding(mesh, 3))
     return (jax.device_put(jnp.asarray(frame), fsh),
