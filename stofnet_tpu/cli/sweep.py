@@ -18,6 +18,8 @@ import sys
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
+import numpy as np
+
 from stofnet_tpu.utils.config import Config, load_config, merge_cli
 from stofnet_tpu.cli.main import DEFAULT_CONFIG
 
@@ -152,6 +154,44 @@ def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
     return "\n".join(lines)
 
 
+def sweep_comparison_figure(results: List[Dict[str, Any]],
+                            run_dir: Path) -> Optional[Path]:
+    """Cross-model comparison figure from the per-run frame artifacts: one
+    waveform with every model's ToA markers + GT and a zoom inset — the
+    reference's paper figure (utils/load_table_contents.py:115-116 ->
+    plot_frame.stofnet_plot). Returns the saved path, or None when no
+    artifacts exist (save_artifacts=False runs)."""
+    frames = []
+    for r in results:
+        if "error" in r or not r.get("run_name"):
+            continue
+        art = sorted((run_dir / f"{r['run_name']}_frames").glob("frame_*.npz"))
+        if art:
+            frames.append((r["model"], np.load(art[0])))
+    if not frames:
+        return None
+    try:
+        import matplotlib.pyplot as plt
+
+        from stofnet_tpu.utils.plotting import plot_comparison
+    except Exception:
+        return None
+
+    # all rows evaluate the same deterministic batch order, so artifact 0
+    # is the same frame for every model
+    _, first = frames[0]
+    path = run_dir / "sweep_comparison.png"
+    fig = plot_comparison(
+        first["data"][0, 0],
+        [art["toa"][0] for _, art in frames],
+        [name for name, _ in frames],
+        gt_samples=first["gt"][0],
+        save_path=str(path),
+    )
+    plt.close(fig)
+    return path
+
+
 def main(argv: Optional[list] = None) -> None:
     args = list(argv) if argv is not None else sys.argv[1:]
     cfg = merge_cli(load_config(DEFAULT_CONFIG), args)
@@ -180,6 +220,9 @@ def main(argv: Optional[list] = None) -> None:
     tex = format_table(results, latex=True)
     (out_dir / "metrics_table.md").write_text(md + "\n")
     (out_dir / "metrics_table.tex").write_text(tex + "\n")
+    fig = sweep_comparison_figure(results, out_dir)
+    if fig is not None:
+        print(f"comparison figure: {fig}", file=sys.stderr)
     print(md)
 
 

@@ -48,6 +48,13 @@ def test_mini_sweep_and_table(chirp_root, tmp_path):
     assert tex.startswith("\\begin{tabular}")
     assert "ESPCN" in tex
 
+    # cross-model paper figure from the per-run frame artifacts
+    # (utils/load_table_contents.py:115-116 -> stofnet_plot)
+    from stofnet_tpu.cli.sweep import sweep_comparison_figure
+
+    fig_path = sweep_comparison_figure(results, tmp_path / "runs")
+    assert fig_path is not None and fig_path.exists()
+
 
 def test_plot_channel_overview(rng):
     frame = rng.standard_normal((4, 500)).astype(np.float32)
