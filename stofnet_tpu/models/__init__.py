@@ -10,6 +10,7 @@ from stofnet_tpu.models.edsr1d import EDSR1D
 from stofnet_tpu.models.espcn1d import ESPCN1D
 from stofnet_tpu.models.zonzini import ZonziniNetSmall, ZonziniNetLarge
 from stofnet_tpu.models.sincnet import SincNet, SincConv
+from stofnet_tpu.models.sincnet_full import MLP as SincMLP, SincNetFull
 from stofnet_tpu.models.wave_unet import WaveUnet
 from stofnet_tpu.models.kuleshov import Kuleshov
 from stofnet_tpu.models.gradpeak import GradPeak
@@ -29,6 +30,8 @@ __all__ = [
     "ZonziniNetLarge",
     "SincNet",
     "SincConv",
+    "SincNetFull",
+    "SincMLP",
     "WaveUnet",
     "Kuleshov",
     "GradPeak",

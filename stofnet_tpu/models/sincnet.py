@@ -34,6 +34,7 @@ class SincConv(nn.Module):
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
     dtype: Any = None
+    pad: bool = True  # False = valid conv (SincNetFull pads manually)
 
     def _mel_init(self):
         low_hz, high_hz = 30.0, self.sample_rate / 2 - (self.min_low_hz +
@@ -74,8 +75,9 @@ class SincConv(nn.Module):
         if self.dtype is not None:
             filters = filters.astype(self.dtype)
             x = x.astype(self.dtype)
+        padding = [(half, half)] if self.pad else [(0, 0)]
         return lax.conv_general_dilated(
-            x, filters, window_strides=(1,), padding=[(half, half)],
+            x, filters, window_strides=(1,), padding=padding,
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
 
