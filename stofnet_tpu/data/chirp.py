@@ -141,3 +141,37 @@ class ChirpDataset:
         return (envelope.astype(np.float32), rf.astype(np.float32),
                 rf_gt.astype(np.float32), np.float32(gt_sample),
                 np.float32(position), label)
+
+
+if __name__ == "__main__":
+    # Visual diagnostic of one sample, mirroring the reference's demo block
+    # (datasets/chirp_dataset.py:131-167): RF data + GT RF + envelope + GT
+    # position marker. Saves a PNG (headless harness) instead of plt.show().
+    #   python -m stofnet_tpu.data.chirp <dataset_root> [out.png]
+    import sys
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else "stof_chirp101_dataset")
+    out = sys.argv[2] if len(sys.argv) > 2 else "chirp_demo.png"
+    ds = ChirpDataset(root, "test")
+    envelope, rf, rf_gt, gt_sample, gt_position, label = ds[0]
+
+    fs = ds.cfg["fhz_sample"]
+    t = np.linspace(0, len(rf) / fs / ds.rf_scale_factor, num=len(rf),
+                    endpoint=True)
+    x = np.linspace(0, len(envelope) / fs / ds.rf_scale_factor,
+                    num=len(envelope), endpoint=True)
+    plt.plot(t, rf, label="RF data")
+    plt.plot(t, rf_gt, label="RF ground truth")
+    plt.plot(x, envelope, label="Envelope measurement")
+    g = t[int(round(float(gt_sample)))]
+    plt.plot([g, g], [-0.8 * rf.max(), 0.8 * rf.max()], linestyle="dashed",
+             label="GT position")
+    plt.title(f"{label} @ {float(gt_position)}mm")
+    plt.legend()
+    plt.savefig(out, dpi=120)
+    print(f"saved {out}")

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from stofnet_tpu.ops.shuffle import sample_shuffle
+from stofnet_tpu.ops.packed_conv import conv1d_blocked, conv1d_same_packed
 from stofnet_tpu.ops.pallas.sgb_kernel import sgb_contract_pool
 
 
@@ -95,5 +96,104 @@ def stofnet_apply_fused(
 
         h = _conv1d_same(h, jnp.asarray(p["conv_last"]["kernel"]),
                          jnp.asarray(p["conv_last"]["bias"]), dtype)
+    h = jnp.transpose(h, (0, 2, 1))
+    return sample_shuffle(h, upsample_factor).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("upsample_factor", "num_blocks",
+                                   "semi_global_scale", "dtype", "pack"))
+def stofnet_apply_packed(
+    variables: Any,
+    x: jnp.ndarray,
+    upsample_factor: int = 4,
+    num_blocks: int = 13,
+    semi_global_scale: int = 80,
+    dtype: Optional[Any] = jnp.bfloat16,
+    pack: int = 2,
+) -> jnp.ndarray:
+    """StofNet forward with position-packed convs (ops/packed_conv.py).
+
+    Pure-XLA MXU-utilization rewrite: the ten k=7 Cout=64 convs (and conv1 /
+    conv_last) fill all 128 output lanes by computing ``pack`` consecutive
+    positions per matmul row. Math identical to ``StofNet.apply`` up to
+    accumulation order; callers parity-gate decoded coords (bench.py).
+    The SGB contract conv (Cout=512) already saturates the MXU and stays
+    plain.
+    """
+    p = variables["params"]
+
+    def conv(h, name, pk):
+        node = p
+        for part in name.split("."):
+            node = node[part]
+        kernel = jnp.asarray(node["kernel"])
+        bias = jnp.asarray(node["bias"])
+        if dtype is not None:
+            h, kernel, bias = (h.astype(dtype), kernel.astype(dtype),
+                               bias.astype(dtype))
+        return conv1d_same_packed(h, kernel, bias, pack=pk)
+
+    h = jnp.transpose(x, (0, 2, 1))
+    if dtype is not None:
+        h = h.astype(dtype)
+    L = h.shape[1]
+
+    h = jax.nn.relu(conv(h, "conv1", pack))
+
+    if semi_global_scale != 1:
+        s = conv(h, "semi_global_block.contract_conv", 1)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = lax.reduce_window(s, -jnp.inf, lax.max,
+                              (1, semi_global_scale, 1),
+                              (1, semi_global_scale, 1), "VALID")
+        s = conv(s, "semi_global_block.expand_conv", 1)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, semi_global_scale, axis=1)
+        pad = max(0, L - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        h = h + s
+
+    # enter the blocked domain ONCE: convs 2..12 chain without repacking
+    # (elementwise leaky-ReLU / residual adds are layout-agnostic)
+    pk = pack if pack > 1 and L % pack == 0 else 1
+    nf = h.shape[-1]
+    if pk > 1:
+        h = h.reshape(h.shape[0], L // pk, pk * nf)
+
+    def conv_blocked(hb, name):
+        node = p
+        for part in name.split("."):
+            node = node[part]
+        kernel = jnp.asarray(node["kernel"])
+        bias = jnp.asarray(node["bias"])
+        if dtype is not None:
+            hb, kernel, bias = (hb.astype(dtype), kernel.astype(dtype),
+                                bias.astype(dtype))
+        if pk == 1:
+            return conv1d_same_packed(hb, kernel, bias, pack=1)
+        return conv1d_blocked(hb, kernel, bias, pk)
+
+    residual_layers = set(range(3, num_blocks - 1, 2))
+    res = res1 = h
+    for i in range(2, num_blocks - 1):
+        y = conv_blocked(h, f"conv{i}")
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+    h = res1 + conv_blocked(h, f"conv{num_blocks - 1}")
+    if pk > 1:
+        h = h.reshape(h.shape[0], L, nf)
+
+    # conv_last has Cout = upsample_factor (4): pack as many positions as
+    # fill the lanes and divide L
+    pk_last = 1
+    for cand in (32, 16, 8, 4, 2):
+        if L % cand == 0:
+            pk_last = cand
+            break
+    h = conv(h, "conv_last", pk_last)
+
     h = jnp.transpose(h, (0, 2, 1))
     return sample_shuffle(h, upsample_factor).astype(jnp.float32)

@@ -132,3 +132,29 @@ def test_attention_block(rng):
     v = blk.init(jax.random.key(0), x)
     y = blk.apply(v, x)
     assert y.shape == x.shape
+
+
+def test_report_tool_local(tmp_path):
+    """Post-hoc report (cli/report.py): table rebuilt from past run
+    summaries without re-running (load_table_contents.py parity)."""
+    rd = tmp_path / "runs"
+    rd.mkdir()
+    for i, m in enumerate(["stofnet", "edsr"]):
+        (rd / f"run{i}_summary.json").write_text(json.dumps({
+            "model_name": m, "total_parameters": 1000 + i,
+            "total_jaccard": 90.0, "total_inference_time": 1e-3,
+            "total_distance_mean": 0.5, "total_distance_std": 0.1}))
+    from stofnet_tpu.cli.report import local_results, main as report_main
+
+    report_main([f"run_dir={rd}"])
+    md = (rd / "metrics_table.md").read_text()
+    assert (rd / "metrics_table.tex").exists()
+    assert "stofnet" in md and "edsr" in md
+    assert len(local_results(rd, 1)) == 1  # num_recent honored
+
+
+def test_report_tool_empty_dir(tmp_path):
+    from stofnet_tpu.cli.report import main as report_main
+
+    with pytest.raises(SystemExit):
+        report_main([f"run_dir={tmp_path / 'nothing'}"])
