@@ -31,7 +31,7 @@ Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
 CPU PyTorch reference (6.9 waveforms/s, BASELINE.md). Extra keys carry the
 per-path numbers.
 
-Usage: python bench.py [--oom-demo | --scaling]
+Usage: python bench.py [--oom-demo | --scaling | --train]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
   Pallas-fused SGB keeps it in VMEM tiles) and print one JSON line with
@@ -275,6 +275,73 @@ def oom_demo():
                       **results}))
 
 
+def train_bench() -> None:
+    """Sustained TRAINING throughput on one chip: the full jitted train
+    step (forward + blurred-mask loss + backward + AdamW update, the
+    reference recipe main.py:198-289) scanned over device-resident batches.
+    The reference trains at ~7 wf/s-scale on GPU-hours; this prints the
+    TPU wf/s and steps/s at the benchmark operating shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.train.steps import (LossConfig, init_train_state,
+                                         make_optimizer, make_train_step)
+
+    variables, overrides = setup()
+
+    from stofnet_tpu.models import StofNet
+
+    model = StofNet(dtype=jnp.bfloat16, **overrides)
+    cfg = LossConfig(upsample_factor=overrides.get("upsample_factor", 4),
+                     max_echoes=8)
+    optimizer, _ = make_optimizer(lr=5e-4, weight_decay=1e-8, epochs=80,
+                                  steps_per_epoch=100)
+    train_step = make_train_step(model, optimizer, cfg)
+    state = init_train_state(variables, optimizer, seed=0)
+
+    k = 20
+    key = jax.random.key(0)
+    xs = jax.random.normal(key, (k, BATCH, 1, LENGTH), jnp.float32)
+    xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+    # synthetic GT: 2 echoes per waveform (static (B, E) layout, 0 = unused;
+    # gt_true is (B, 1, E) in upsampled units, cli/main.py:443 semantics)
+    gt = jnp.stack([jnp.full((BATCH,), 2000.25), jnp.full((BATCH,), 5500.5)],
+                   -1)
+    gt = jnp.broadcast_to(gt, (k, BATCH, 2))
+    gt_true = jnp.round(gt[:, :, None, :] * cfg.upsample_factor
+                        ).astype(jnp.int32)
+
+    @jax.jit
+    def run_steps(state, xs, gt, gt_true):
+        def body(st, inp):
+            xb, g, gtr = inp
+            st, aux = train_step(st, xb, g, gtr)
+            return st, aux["loss"]
+
+        return jax.lax.scan(body, state, (xs, gt, gt_true))
+
+    (state1, losses) = run_steps(state, xs, gt, gt_true)
+    losses = np.asarray(losses)  # compile + warm + fetch-sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, ls = run_steps(state, xs, gt, gt_true)
+        np.asarray(ls)
+        best = min(best, time.perf_counter() - t0)
+    wf_s = BATCH * k / best
+    log(f"train step B={BATCH} k={k}: {best / k * 1e3:.2f} ms/step -> "
+        f"{wf_s:.1f} wf/s, loss[0]={losses[0]:.4f} -> loss[-1]={losses[-1]:.4f}")
+    assert np.isfinite(losses).all()
+    print(json.dumps({
+        "metric": "stofnet_train_throughput",
+        "value": round(wf_s, 1),
+        "unit": f"waveforms/s/chip training (B={BATCH}, L={LENGTH}, "
+                "fwd+bwd+AdamW)",
+        "vs_baseline": round(wf_s / BASELINE_WF_S, 2),
+        "ms_per_step": round(best / k * 1e3, 2),
+    }))
+
+
 def scaling() -> None:
     """Throughput vs batch size for the bf16 XLA pipeline."""
     import jax.numpy as jnp
@@ -395,5 +462,7 @@ if __name__ == "__main__":
         oom_demo()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--train" in sys.argv:
+        train_bench()
     else:
         main()
