@@ -349,7 +349,7 @@ def scaling() -> None:
     variables, overrides = setup()
     pipe = make_xla_pipeline(overrides, jnp.bfloat16)
     curve = {}
-    for batch in (16, 32, 64, 128, 256, 512, 1024):
+    for batch in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
         k = max(8, min(50, 4096 // batch))
         try:
             wf_s, dt = sustained_wf_s(pipe, variables, batch, k)
