@@ -280,6 +280,28 @@ def rewrite_torch_key(key: str) -> str:
     return key
 
 
+def rewrite_flax_key(key: str) -> str:
+    """Inverse of :func:`rewrite_torch_key` (for .pth export)."""
+    head, rest = key.split(".", 1)
+    if head == "bn_inp":
+        return "bn0." + rest
+    if head == "ln_inp":
+        return "ln0." + rest
+    for prefix in ("conv", "bn", "wx", "ln"):
+        if head.startswith(prefix) and head[len(prefix):].isdigit():
+            return f"{prefix}.{head[len(prefix):]}." + rest
+    return key
+
+
+def export_torch_state(variables: Dict[str, Any], options: Dict[str, Any],
+                       mlp: bool = False) -> Dict[str, np.ndarray]:
+    """flax variables -> reference-named torch state dict (numpy values)."""
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+
+    sd = params_to_state_dict(variables, batchnorm_modules(options, mlp=mlp))
+    return {rewrite_flax_key(k): v for k, v in sd.items()}
+
+
 def batchnorm_modules(options: Dict[str, Any], mlp: bool = False):
     """BatchNorm scope names for the structural importer."""
     mods = []

@@ -227,3 +227,49 @@ def test_cnn_train_mode_updates_stats_and_droput_masks(rng):
         variables, x, train=True, mutable=["batch_stats"],
         rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_export_round_trip_to_torch(rng):
+    """From-scratch flax init -> export_torch_state -> torch reference model
+    loads it and matches our forward (reverse interop for the full space)."""
+    from stofnet_tpu.models.sincnet_full import export_torch_state
+
+    options = {
+        "input_dim": 256, "fs": 25e6,
+        "cnn_N_filt": [16, 8],
+        "cnn_len_filt": [65, 7],
+        "cnn_max_pool_len": [2, 1],
+        "cnn_use_laynorm_inp": False, "cnn_use_batchnorm_inp": True,
+        "cnn_use_laynorm": [False, False],
+        "cnn_use_batchnorm": [True, False],
+        "cnn_act": ["leaky_relu", "linear"],
+        "cnn_drop": [0.0, 0.0],
+        "use_sinc": True,
+    }
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    model = SincNetFull(options)
+    variables = model.init(jax.random.PRNGKey(7), jnp.asarray(x))
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
+          for k, v in export_torch_state(variables, options).items()}
+
+    from models.sincnet import SincNet as TorchSincNet
+
+    tm = TorchSincNet(options)
+    missing, unexpected = tm.load_state_dict(
+        {k: v for k, v in sd.items() if "num_batches_tracked" not in k},
+        strict=False)
+    assert not unexpected
+    # torch registers a BatchNorm module for EVERY layer regardless of its
+    # use flag (sincnet.py:441); unused ones never run in forward, so they
+    # may legitimately be absent from our export
+    unused_bn = {i for i, on in enumerate(options["cnn_use_batchnorm"])
+                 if not on}
+    for k in missing:
+        assert ("num_batches_tracked" in k
+                or (k.startswith("bn.") and int(k.split(".")[1]) in unused_bn))
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    _allclose(ours, ref)
