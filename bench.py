@@ -31,7 +31,7 @@ Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
 CPU PyTorch reference (6.9 waveforms/s, BASELINE.md). Extra keys carry the
 per-path numbers.
 
-Usage: python bench.py [--oom-demo | --scaling | --train]
+Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
   Pallas-fused SGB keeps it in VMEM tiles) and print one JSON line with
@@ -275,6 +275,63 @@ def oom_demo():
                       **results}))
 
 
+def length_scaling() -> None:
+    """Throughput vs waveform length L at fixed total samples per batch
+    (B*L const): the single-chip long-sequence story. The SemiGlobalBlock's
+    80x pooled pathway gives O(L/80) global context at any L, so sample
+    rate should hold roughly flat until HBM pressure bites; multi-chip
+    length sharding (parallel/, sp axis) extends past that."""
+    import jax.numpy as jnp
+
+    variables, overrides = setup()
+    pipe = make_xla_pipeline(overrides, jnp.bfloat16)
+    curve = {}
+    total = 128 * 8000  # the headline operating point's samples/batch
+    for length in (8000, 16000, 40000, 80000, 160000):
+        batch = max(1, total // length)
+        k = 16
+        try:
+            wf_s, dt = _sustained_lb(pipe, variables, batch, length, k)
+            sps = wf_s * length
+            curve[f"L{length}"] = round(sps / 1e6, 1)
+            log(f"L={length} B={batch} k={k}: {dt * 1e3:.2f} ms/batch -> "
+                f"{wf_s:.1f} wf/s = {sps / 1e6:.1f} Msamples/s")
+        except Exception as e:
+            curve[f"L{length}"] = f"{type(e).__name__}"
+            log(f"L={length}: {type(e).__name__}: {str(e)[:100]}")
+    print(json.dumps({"metric": "stofnet_length_scaling", "value": 1.0,
+                      "unit": "Msamples/s/chip per waveform length",
+                      "vs_baseline": 1.0, **curve}))
+
+
+def _sustained_lb(body_fn, variables, batch, length, k):
+    """sustained_wf_s with a configurable waveform length."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def stage(key):
+        xs = jax.random.normal(key, (k, batch, 1, length), jnp.float32)
+        return xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+
+    @jax.jit
+    def run(v, xs):
+        def body(carry, xb):
+            return carry, body_fn(v, xb)
+
+        _, cs = jax.lax.scan(body, 0, xs)
+        return cs
+
+    xs = stage(jax.random.key(0))
+    np.asarray(run(variables, xs))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cs = np.asarray(run(variables, xs))
+        best = min(best, time.perf_counter() - t0)
+    return batch * k / best, best / k
+
+
 def train_bench() -> None:
     """Sustained TRAINING throughput on one chip: the full jitted train
     step (forward + blurred-mask loss + backward + AdamW update, the
@@ -464,5 +521,7 @@ if __name__ == "__main__":
         scaling()
     elif "--train" in sys.argv:
         train_bench()
+    elif "--lscaling" in sys.argv:
+        length_scaling()
     else:
         main()
