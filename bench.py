@@ -159,7 +159,7 @@ def try_fused_pipeline(variables, overrides, x, coords_ref):
     return None
 
 
-def sustained_wf_s(body_fn, variables, batch, k):
+def sustained_wf_s(body_fn, variables, batch, k, length=LENGTH):
     """Throughput of k scanned batches from a device-resident staging
     buffer (the serving pattern: inputs land in HBM ahead of the stream;
     generating them is not the pipeline's work, so it happens outside the
@@ -169,7 +169,7 @@ def sustained_wf_s(body_fn, variables, batch, k):
 
     @jax.jit
     def stage(key):
-        xs = jax.random.normal(key, (k, batch, 1, LENGTH), jnp.float32)
+        xs = jax.random.normal(key, (k, batch, 1, length), jnp.float32)
         return xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
 
     @jax.jit
@@ -180,7 +180,7 @@ def sustained_wf_s(body_fn, variables, batch, k):
         _, cs = jax.lax.scan(body, 0, xs)
         return cs
 
-    xs = stage(jax.random.key(0))  # ~205 MB staged in HBM
+    xs = stage(jax.random.key(0))  # ~205 MB staged in HBM at the default
     np.asarray(run(variables, xs))  # compile + warm
     best = float("inf")
     for _ in range(3):  # best-of-3: relay/chip load varies +-20% run-to-run
@@ -291,7 +291,8 @@ def length_scaling() -> None:
         batch = max(1, total // length)
         k = 16
         try:
-            wf_s, dt = _sustained_lb(pipe, variables, batch, length, k)
+            wf_s, dt = sustained_wf_s(pipe, variables, batch, k,
+                                      length=length)
             sps = wf_s * length
             curve[f"L{length}"] = round(sps / 1e6, 1)
             log(f"L={length} B={batch} k={k}: {dt * 1e3:.2f} ms/batch -> "
@@ -302,34 +303,6 @@ def length_scaling() -> None:
     print(json.dumps({"metric": "stofnet_length_scaling", "value": 1.0,
                       "unit": "Msamples/s/chip per waveform length",
                       "vs_baseline": 1.0, **curve}))
-
-
-def _sustained_lb(body_fn, variables, batch, length, k):
-    """sustained_wf_s with a configurable waveform length."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def stage(key):
-        xs = jax.random.normal(key, (k, batch, 1, length), jnp.float32)
-        return xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
-
-    @jax.jit
-    def run(v, xs):
-        def body(carry, xb):
-            return carry, body_fn(v, xb)
-
-        _, cs = jax.lax.scan(body, 0, xs)
-        return cs
-
-    xs = stage(jax.random.key(0))
-    np.asarray(run(variables, xs))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cs = np.asarray(run(variables, xs))
-        best = min(best, time.perf_counter() - t0)
-    return batch * k / best, best / k
 
 
 def train_bench() -> None:

@@ -65,8 +65,14 @@ def wandb_results(group: str, num_recent: int) -> Optional[List[Dict[str, Any]]]
 
 
 def main(argv: Optional[list] = None) -> None:
-    args = dict(a.split("=", 1) for a in
-                (argv if argv is not None else sys.argv[1:]))
+    raw = argv if argv is not None else sys.argv[1:]
+    bad = [a for a in raw if "=" not in a]
+    if bad:
+        print(f"arguments must be key=value (got {bad!r}); e.g. "
+              f"run_dir=runs num_recent=7 wandb_group=chirp_array",
+              file=sys.stderr)
+        raise SystemExit(2)
+    args = dict(a.split("=", 1) for a in raw)
     run_dir = Path(args.get("run_dir", "runs"))
     num_recent = int(args.get("num_recent", 7))
 

@@ -21,7 +21,7 @@ host numpy so workers can prefetch).
 
 from __future__ import annotations
 
-import itertools
+import threading
 from pathlib import Path
 from typing import List, Tuple
 
@@ -55,12 +55,14 @@ class ChirpDataset:
         self.split_dirname = split_dirname
         self.rf_scale_factor = rf_scale_factor
         self.transforms = transforms
-        # per-call augmentation rng = f(seed, item, draw#): thread-safe under
-        # the thread-pool loader (a shared Generator is not) and still
-        # epoch-varying like the reference's worker processes; next() on the
-        # counter is atomic under the GIL
+        # per-call augmentation rng = f(seed, item, per-ITEM draw#):
+        # thread-safe under the thread-pool loader (a shared Generator is
+        # not), epoch-varying like the reference's worker processes, AND
+        # order-independent — item idx's n-th draw always seeds
+        # (seed, idx, n) no matter which thread serves it or in what order
         self._seed = int(seed)
-        self._draw = itertools.count()
+        self._draw_lock = threading.Lock()
+        self._draws: dict = {}
 
         with open(self.root_dir / "sensor_specs.yaml") as f:
             self.cfg = dict(yaml.safe_load(f))
@@ -133,7 +135,9 @@ class ChirpDataset:
         envelope = upscale_1d(envelope, self.rf_scale_factor)
 
         if self.transforms is not None:
-            rng = np.random.default_rng((self._seed, idx, next(self._draw)))
+            with self._draw_lock:
+                draw = self._draws[idx] = self._draws.get(idx, -1) + 1
+            rng = np.random.default_rng((self._seed, idx, draw))
             envelope, _ = self.transforms(envelope, gt_sample, rng=rng)
             rf, gt_sample = self.transforms(rf, gt_sample, rng=rng)
             rf_gt, _ = self.transforms(rf_gt, gt_sample, rng=rng)

@@ -36,7 +36,7 @@ submodule math is unrecoverable.
 
 from __future__ import annotations
 
-import itertools
+import threading
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -59,7 +59,9 @@ class PalaDatasetRf:
         self.angle_threshold = float(angle_threshold)
         self.transforms = transforms
         self._seed = int(seed)
-        self._draw = itertools.count()  # see chirp.py: thread-safe aug rng
+        # see chirp.py: thread-safe, order-independent per-item aug rng
+        self._draw_lock = threading.Lock()
+        self._draws: dict = {}
 
         with open(self.root / "pala_config.yaml") as f:
             self.cfg = dict(yaml.safe_load(f))
@@ -151,7 +153,9 @@ class PalaDatasetRf:
         gt = self._gt_samples(self.positions[idx])
 
         if self.transforms is not None:
-            rng = np.random.default_rng((self._seed, idx, next(self._draw)))
+            with self._draw_lock:
+                draw = self._draws[idx] = self._draws.get(idx, -1) + 1
+            rng = np.random.default_rng((self._seed, idx, draw))
             waves = []
             for w in range(frame.shape[0]):
                 chans = []

@@ -26,11 +26,14 @@ class _ZonziniNet(nn.Module):
         if self.dtype is not None:
             h = h.astype(self.dtype)
         for i, ch in enumerate(self.channels):
-            if h.shape[1] < 10:
+            # conv(k10, s2, VALID) emits (L-10)//2+1; maxpool(k2, s2, VALID)
+            # then needs >= 2 of those, so each stage needs L >= 12 or the
+            # empty global pool turns the output into NaN
+            if h.shape[1] < 12:
                 raise ValueError(
-                    f"ZonziniNet stage {i}: length {h.shape[1]} < kernel 10 "
+                    f"ZonziniNet stage {i}: length {h.shape[1]} < 12 "
                     f"(input L={x.shape[-1]} too short for "
-                    f"{len(self.channels)} stride-4 stages; the VALID conv "
+                    f"{len(self.channels)} stride-4 stages; conv+pool "
                     f"would emit width 0 and the global pool NaN)")
             h = nn.Conv(ch, (10,), strides=(2,), padding="VALID",
                         dtype=self.dtype, name=f"conv{i}",

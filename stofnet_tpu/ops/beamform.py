@@ -139,7 +139,10 @@ def das_rx_batch(sigs: jnp.ndarray, table: DelayTable) -> jnp.ndarray:
     idxf = jnp.asarray(table.idxf.astype(np.int32))
     frac = jnp.asarray(table.frac)
     mask = jnp.asarray((~table.invalid) & table.aperture)
-    has_phase = table.phase is not None
+    # phase rotation applies to IQ data only, matching das_rx_apply's
+    # `iscomplexobj(sig) and phase is not None` guard (real RF through an
+    # iq=True table must not be complexified)
+    has_phase = table.phase is not None and is_complex
     if has_phase:
         ph_r = jnp.asarray(np.real(table.phase).astype(np.float32))
         ph_i = jnp.asarray(np.imag(table.phase).astype(np.float32))
@@ -156,11 +159,8 @@ def das_rx_batch(sigs: jnp.ndarray, table: DelayTable) -> jnp.ndarray:
         gi = si[:, :, c] @ band.T if is_complex else None
         if has_phase:
             pr, pi = ph_r[None, :, c], ph_i[None, :, c]
-            if is_complex:
-                rr = gr * pr - gi * pi
-                ii = gr * pi + gi * pr
-            else:
-                rr, ii = gr * pr, gr * pi
+            rr = gr * pr - gi * pi
+            ii = gr * pi + gi * pr
             return (acc_r + rr, acc_i + ii), None
         if is_complex:
             return (acc_r + gr, acc_i + gi), None
@@ -169,7 +169,7 @@ def das_rx_batch(sigs: jnp.ndarray, table: DelayTable) -> jnp.ndarray:
     zero = jnp.zeros((f_frames, P), jnp.float32)
     (out_r, out_i), _ = jax.lax.scan(per_channel, (zero, zero),
                                      jnp.arange(K))
-    if is_complex or has_phase:
+    if is_complex:
         return out_r + 1j * out_i
     return out_r
 

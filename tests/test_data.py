@@ -188,3 +188,33 @@ def test_prefetch_to_device(chirp_root):
         n += 1
         assert batch[1].shape[0] <= 2
     assert n == len(dl)
+
+
+def test_augmentation_rng_order_independent(chirp_root):
+    """Item idx's n-th draw seeds (seed, idx, n) regardless of the order in
+    which OTHER items were served (thread scheduling under num_workers>0
+    must not change the augmentation stream — regression for the global
+    draw counter that did)."""
+    from stofnet_tpu.data.transforms import (
+        AddNoise, Compose, CropChannelData, NormalizeVol,
+    )
+
+    tf = Compose([NormalizeVol(), CropChannelData(ratio=0.75),
+                  AddNoise(snr=30)])
+    ds1 = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4,
+                       transforms=tf, seed=5)
+    ds2 = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4,
+                       transforms=tf, seed=5)
+    n = len(ds1)
+    ordered = [ds1[i] for i in range(n)]
+    shuffled = [ds2[i] for i in reversed(range(n))][::-1]
+    for a, b in zip(ordered, shuffled):
+        np.testing.assert_array_equal(a[1], b[1])
+
+    # threaded loader WITH transforms matches the serial loader exactly
+    serial = DataLoader(ds1, batch_size=3, shuffle=True, seed=7)
+    threaded = DataLoader(ds2, batch_size=3, shuffle=True, seed=7,
+                          num_workers=4, prefetch_batches=2)
+    # both datasets have served one full epoch above, so draw counters align
+    for bs, bt in zip(list(serial), list(threaded)):
+        np.testing.assert_array_equal(bs[1], bt[1])

@@ -203,3 +203,21 @@ def test_fc_dimensions_matches_reference():
     tm = TorchKuleshov(input_length=1000, output_length=4000)
     assert fc_dimensions(1000) == tm.fc_dimensions(
         [128, 256, 512, 512], [65, 33, 17, 9, 9, 9, 9, 9, 9])
+
+
+def test_zonzini_rejects_nan_window_lengths(rng):
+    """Lengths where the final stage's conv emits width 1 but the pool
+    emits width 0 (e.g. L=820 for the Small net) must raise, not NaN."""
+    import jax
+
+    from stofnet_tpu.models import ZonziniNetSmall
+
+    model = ZonziniNetSmall()
+    x = jnp.zeros((1, 1, 820), jnp.float32)
+    with pytest.raises(ValueError, match="too short"):
+        model.init(jax.random.PRNGKey(0), x)
+
+    ok = jnp.zeros((1, 1, 1000), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), ok)
+    out = np.asarray(model.apply(v, ok))
+    assert np.isfinite(out).all()

@@ -84,8 +84,9 @@ def test_das_rx_batch_matches_per_frame(rng):
 
 
 def test_das_rx_batch_real_rf(rng):
-    """RF (real) input path: phase rotation still produces the complex
-    analytic sum; matches the per-frame path."""
+    """Real RF through an iq=True table: NO phase rotation, exactly like
+    das_rx_apply and the reference's `np.any(~np.isreal(temp))` guard
+    (utils/beamform.py:86-87) — real in, real out, both paths agree."""
     from stofnet_tpu.ops.beamform import (
         das_rx_apply, das_rx_batch, make_delay_table,
     )
@@ -97,8 +98,10 @@ def test_das_rx_batch_real_rf(rng):
         _bparams(params), 0.0, xg.ravel(), zg.ravel(), n, iq=True)
     sigs = rng.standard_normal((f, n, k)).astype(np.float32)
     batched = np.asarray(das_rx_batch(jnp.asarray(sigs), table))
+    assert not np.iscomplexobj(batched)
     for i in range(f):
-        ref = np.asarray(das_rx_apply(jnp.asarray(sigs[i] + 0j), table))
+        ref = np.asarray(das_rx_apply(jnp.asarray(sigs[i]), table))
+        assert not np.iscomplexobj(ref)
         np.testing.assert_allclose(batched[i], ref, rtol=2e-4, atol=2e-4)
 
 
