@@ -459,6 +459,15 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             frame_d, gt_d, gt_true_d = dev
             state, aux = train_step(state, frame_d, gt_d, gt_true_d)
             loss = float(aux["loss"])
+            if not np.isfinite(loss):
+                # failure detection (beyond the reference, which would
+                # silently train on NaN until the end-of-run summary):
+                # stop at the poisoned step with enough context to resume
+                # from the last checkpoint
+                raise RuntimeError(
+                    f"non-finite train loss {loss} at step {train_global + 1}"
+                    f" (epoch {epoch}, lr {float(schedule(state.step)):.2e});"
+                    " resume from the last checkpoint with a lower lr")
             epoch_loss += loss * frame.shape[0]
             n_items += frame.shape[0]
             train_global += 1

@@ -242,3 +242,14 @@ def test_evaluate_pala_stofnet(pala_root, tmp_path):
                    max_echoes=16, etol=4)
     out = run(cfg)
     assert np.isfinite(out["val_loss"])
+
+
+def test_train_nan_guard(chirp_root, tmp_path, monkeypatch):
+    """A poisoned batch stops training with a clear error instead of
+    silently optimizing on NaN (failure detection beyond the reference)."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, crop_ratio=0.75,
+                   lr=1e30)  # guaranteed blow-up within the first epoch
+    with pytest.raises(RuntimeError, match="non-finite train loss"):
+        run(cfg)
