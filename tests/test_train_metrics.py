@@ -116,3 +116,46 @@ def test_find_threshold_matches_sklearn(rng, norm_opt):
         window_size=20, norm_opt=norm_opt,
     )
     np.testing.assert_allclose(ours, float(ref), rtol=1e-6, atol=1e-9)
+
+
+def test_find_threshold_global_pos_label(rng):
+    """The positive-label value is the GLOBAL masks_true.max()
+    (threshold.py:17), not element 0's max — when element 1 carries larger
+    spike amplitudes, element 0 has NO positives and the result is the
+    degenerate inf, exactly like the reference."""
+    from utils.threshold import find_threshold as ref_find_threshold
+
+    b, l = 2, 128
+    masks_pred = rng.standard_normal((b, 1, l)).astype(np.float32)
+    masks_true = np.zeros((b, 1, l), dtype=np.float32)
+    masks_true[0, 0, [5, 30]] = 1.0
+    masks_true[1, 0, [7, 40]] = 2.0  # global max lives in element 1
+
+    ours = find_threshold(masks_pred, masks_true)
+    ref = ref_find_threshold(
+        torch.from_numpy(masks_pred.copy()), torch.from_numpy(masks_true),
+        window_size=20, norm_opt=False,
+    )
+    assert np.isinf(ref) and np.isinf(ours)
+
+
+def test_find_threshold_degenerate_all_negative(rng):
+    """Element 0 with no GT spikes: sklearn>=1.3 emits NaN rates and an inf
+    leading threshold; argmax lands on index 0 in both implementations."""
+    from utils.threshold import find_threshold as ref_find_threshold
+
+    b, l = 2, 128
+    masks_pred = rng.standard_normal((b, 1, l)).astype(np.float32)
+    masks_true = np.zeros((b, 1, l), dtype=np.float32)
+    masks_true[1, 0, [7, 40]] = 1.0  # positives only in element 1
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = ref_find_threshold(
+            torch.from_numpy(masks_pred.copy()),
+            torch.from_numpy(masks_true), window_size=20, norm_opt=False,
+        )
+    ours = find_threshold(masks_pred, masks_true)
+    assert np.isinf(float(ref)) and np.isinf(ours)
