@@ -109,7 +109,7 @@ def train_torch(chirp_root, ckpt_dir: Path):
             optimizer.zero_grad()
             loss.backward()
             optimizer.step()
-            tl += float(loss.item()) * frame.shape[0]
+            tl += float(loss.item())  # sum of batch means (main.py:242)
             n += frame.shape[0]
         scheduler.step()
 
@@ -119,7 +119,7 @@ def train_torch(chirp_root, ckpt_dir: Path):
             for batch in val_loader:
                 frame, gt, gt_true = torch_batch(batch)
                 vl += float(loss_fn(model(frame), gt_true).item())
-        curve.append((tl / max(n, 1), vl))
+        curve.append((tl / max(len(train_idx), 1), vl))
         epochs_run = e + 1
         log(f"[torch] epoch {e}: train {curve[-1][0]:.4f} val {vl:.4f}")
         if early(vl):

@@ -208,6 +208,21 @@ def setup(cfg: Config):
     pyrandom.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    # model-name-driven config mutations that the DATASET depends on,
+    # applied BEFORE the (potentially expensive) dataset build: the unet
+    # rf-scale fold mirrors main.py:44-46 exactly; gradpeak's forced
+    # evaluate (main.py:165 — which the reference applies too late,
+    # silently benchmarking the augmented train split when evaluate was
+    # omitted) moves ahead of the build so the eval split + transforms are
+    # right the first time. The registry re-reports both as no-op updates.
+    name = str(cfg.model).lower()
+    if name == "unet":
+        cfg.rf_scale_factor = int(cfg.rf_scale_factor) * int(
+            cfg.upsample_factor)
+        cfg.upsample_factor = 1
+    elif name == "gradpeak":
+        cfg.evaluate = True
+
     ds, info = build_dataset(cfg)
     kind = info["kind"]
 
@@ -219,9 +234,13 @@ def setup(cfg: Config):
         th=None if cfg.th in (None, "Null") else float(cfg.th), dtype=dtype,
         semi_global_scale=int(cfg.get("semi_global_scale", 80)),
     )
+    # rebuild only if an update actually CHANGES a dataset-relevant knob
+    # (the pre-build mutations above make the common cases no-ops)
+    needs_rebuild = any(k in ("rf_scale_factor", "evaluate")
+                        and cfg.get(k) != v for k, v in updates.items())
     for k, v in updates.items():
         cfg[k] = v
-    if "rf_scale_factor" in updates:  # unet folds upsampling into the input
+    if needs_rebuild:
         ds, info = build_dataset(cfg)
 
     model_kind = ("regression" if cfg.model.lower() in ("zonzini", "gradpeak")
@@ -315,9 +334,13 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         loss = float(out["loss"])
         val_step += 1
         # first batch's wall time is dominated by jit compilation; record it
-        # as NaN so the nan-mean summary reflects steady-state throughput
-        infer_time = (toc_fwd / frame.shape[0]) if batch_idx > 0 else float("nan")
-        step_time = (toc / frame.shape[0]) if batch_idx > 0 else float("nan")
+        # as NaN so the nan-mean summary reflects steady-state throughput.
+        # Denominator is cfg.batch_size like the reference (main.py:350) —
+        # NOT the channel-flattened frame.shape[0], which would shrink PALA
+        # timings by the per-frame channel count.
+        bs = int(cfg.batch_size)
+        infer_time = (toc_fwd / bs) if batch_idx > 0 else float("nan")
+        step_time = (toc / bs) if batch_idx > 0 else float("nan")
 
         ideal_th = 0.0
         if ctx["model_kind"] == "heatmap" and batch_idx % th_every == 0:
@@ -448,10 +471,26 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     else:
         put = lambda b: tuple(jnp.asarray(x) for x in b)  # noqa: E731
 
+    def save_ckpt(tag: str, epoch_count: int):
+        ckpt_dir = Path(cfg.ckpt_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        return save_checkpoint(ckpt_dir / tag, {
+            "variables": jax.tree.map(np.asarray, state_variables(state)),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": int(state.step),
+            "epoch": int(epoch_count),
+        })
+
     train_global = int(state.step)
     epochs_run = start_epoch
     val_loss = float("inf")
     for epoch in range(start_epoch, int(cfg.epochs)):
+        # epoch e's batch order is a function of (seed, e): resumed runs
+        # replay the order the uninterrupted run would have used
+        train_loader.set_epoch(epoch)
+        # lr actually used THIS epoch (the reference logs
+        # optimizer.param_groups lr before scheduler.step(), main.py:284-288)
+        lr_epoch = float(schedule(state.step))
         epoch_loss = 0.0
         n_items = 0
         for host, dev in pipeline_batches(host_batches(train_loader), put):
@@ -468,7 +507,7 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                     f"non-finite train loss {loss} at step {train_global + 1}"
                     f" (epoch {epoch}, lr {float(schedule(state.step)):.2e});"
                     " resume from the last checkpoint with a lower lr")
-            epoch_loss += loss * frame.shape[0]
+            epoch_loss += loss  # sum of per-batch means (main.py:242)
             n_items += frame.shape[0]
             train_global += 1
             logger.log({"event": "train", "train_step": train_global,
@@ -491,27 +530,29 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         val_loss = float(np.sum(vlosses))
         vm = (np.concatenate(vmetrics) if vmetrics
               else np.full((1, 7), np.nan))
+        # epoch train_loss is the reference's sum(batch means)/len(train_set)
+        # (main.py:242,281); per-step per-batch means are in the 'train'
+        # events above
         logger.log({"event": "epoch", "epoch": epoch,
-                    "train_loss": epoch_loss / max(n_items, 1),
+                    "train_loss": epoch_loss / max(len(train_idx), 1),
                     "val_loss": val_loss,
                     "val_toa_distance": _nanmean(vm[:, 0]),
                     "val_toa_jaccard": _nanmean(vm[:, 3]),
-                    "lr": float(schedule(state.step))})
+                    "lr": lr_epoch})
+
+        # mid-run safety checkpoint (the reference saves only at the end,
+        # main.py:423-427, losing everything on a crash): overwrite a
+        # rolling 'last' checkpoint each epoch so the NaN fail-fast's
+        # resume guidance is actually actionable
+        save_ckpt(f"{logger.run_name}_last", epochs_run)
 
         if early(val_loss):
             print(f"Finished at epoch: {epoch}", file=sys.stderr)
             break
 
-    ckpt_dir = Path(cfg.ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     name = (f"{logger.run_name}_rf-scale{cfg.rf_scale_factor}"
             f"_epoch_{epochs_run}")
-    path = save_checkpoint(ckpt_dir / name, {
-        "variables": jax.tree.map(np.asarray, state_variables(state)),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "step": int(state.step),
-        "epoch": int(epochs_run),
-    })
+    path = save_ckpt(name, epochs_run)
     logger.log_artifact(path, name)  # W&B mirror (main.py:428-430)
     summary = {"val_loss": val_loss, "checkpoint": str(path),
                "epochs": epochs_run}
@@ -521,7 +562,8 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         from stofnet_tpu.models.registry import export_checkpoint
 
         pth = export_checkpoint(
-            cfg.model, state_variables(state), str(ckpt_dir / f"{name}.pth"),
+            cfg.model, state_variables(state),
+            str(Path(cfg.ckpt_dir) / f"{name}.pth"),
             n_layers=2 if kind == "chirp" else 10)
         summary["export_pth"] = str(pth)
     logger.set_summary(final_val_loss=val_loss, **summary)
@@ -532,8 +574,11 @@ def run(cfg: Config) -> Dict[str, Any]:
     ctx = setup(cfg)
     import jax
 
+    # trainable parameters only — BatchNorm running stats are buffers and
+    # excluded, like the reference's torchinfo count (main.py:415-417)
     n_params = sum(int(np.prod(np.shape(p)))
-                   for p in jax.tree.leaves(ctx["variables"]))
+                   for p in jax.tree.leaves(ctx["variables"].get("params",
+                                                                 {})))
     run_name = make_run_name(int(cfg.seed) + int(time.time()) % 100000)
     logger = MetricsLogger(cfg.get("run_dir", "runs"), run_name,
                            config=dict(cfg),

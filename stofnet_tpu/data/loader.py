@@ -48,9 +48,17 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.num_workers = int(num_workers)
         self.prefetch_batches = max(1, int(prefetch_batches))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle stream to (seed, epoch): epoch e's batch order
+        is a pure function of (seed, e), so a run resumed at epoch e
+        replays the exact order an uninterrupted run would have used
+        (torch DistributedSampler.set_epoch convention)."""
+        self.rng = np.random.default_rng((self._seed, int(epoch)))
 
     def __len__(self) -> int:
         n = len(self.indices)

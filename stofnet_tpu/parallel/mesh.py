@@ -73,10 +73,12 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, tree, seq_axis: Optional[int] = None):
     """Device-put a pytree of batch-major arrays with dp(+sp) sharding."""
     def put(x):
-        if seq_axis is not None and x.ndim >= 2:
+        if x.ndim == 0:  # scalar leaves replicate (P('dp') would be rank-1)
+            sh = replicate(mesh)
+        elif seq_axis is not None and x.ndim >= 2:
             sh = batch_seq_sharding(mesh, x.ndim, seq_axis)
         else:
-            sh = batch_sharding(mesh, max(x.ndim, 1))
+            sh = batch_sharding(mesh, x.ndim)
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, tree)

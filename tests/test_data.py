@@ -218,3 +218,29 @@ def test_augmentation_rng_order_independent(chirp_root):
     # both datasets have served one full epoch above, so draw counters align
     for bs, bt in zip(list(serial), list(threaded)):
         np.testing.assert_array_equal(bs[1], bt[1])
+
+
+def test_loader_set_epoch_order_is_resumable():
+    """Epoch e's shuffle order is a pure function of (seed, e): a loader
+    'resumed' straight into epoch 2 yields the same batches as one that
+    iterated epochs 0-1 first."""
+
+    class Tiny:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.asarray([i], dtype=np.float32),)
+
+    def epoch_order(dl):
+        return [int(b[0][j, 0]) for b in dl for j in range(b[0].shape[0])]
+
+    a = DataLoader(Tiny(), batch_size=2, shuffle=True, seed=3)
+    b = DataLoader(Tiny(), batch_size=2, shuffle=True, seed=3)
+    for e in range(3):
+        a.set_epoch(e)
+        order_a = epoch_order(a)
+    b.set_epoch(2)  # resume directly at epoch 2
+    assert epoch_order(b) == order_a
+    a.set_epoch(0)
+    assert epoch_order(a) != order_a  # epochs really do differ
