@@ -59,7 +59,11 @@ class CropChannelData:
 
     def __call__(self, waveform: np.ndarray, gt: float, rng=None):
         rng = rng or self.rng
-        ratio = self.ratio if self.ratio is not None else float(rng.random())
+        if self.ratio is None:
+            # reference semantics (utils/transforms.py:62): the first draw
+            # STICKS — every subsequent item crops with the same width
+            self.ratio = float(rng.random())
+        ratio = self.ratio
         if not (0 < ratio < 1):
             return waveform, gt
 

@@ -3,14 +3,19 @@
 Mirrors the reference's OmegaConf usage (main.py:30-34): a YAML file defines
 defaults, CLI dot-list args override them (values parsed as YAML, so
 ``th=Null`` -> None, ``th=0.5`` -> float, ``sequences=[1,2]`` -> list), and
-``${var}`` strings interpolate other top-level keys.
+``${var}`` strings interpolate other top-level keys. Like OmegaConf,
+interpolation is resolved against the post-merge values: overriding a
+referenced key on the CLI propagates into dependents (raw templates are
+kept alongside the resolved values), a whole-value ``${key}`` preserves the
+referenced value's native type, and chains (a -> b -> c) resolve
+recursively with a cycle guard.
 """
 
 from __future__ import annotations
 
 import re
 from pathlib import Path
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import yaml
 
@@ -30,18 +35,32 @@ class Config(dict):
         self[name] = value
 
     def copy(self) -> "Config":
-        return Config(dict.copy(self))
+        c = Config(dict.copy(self))
+        object.__setattr__(c, "_templates",
+                           dict(getattr(self, "_templates", {})))
+        return c
 
 
-def _interpolate(value: Any, root: Dict[str, Any]) -> Any:
-    if isinstance(value, str):
-        def sub(m: re.Match) -> str:
-            key = m.group(1)
-            return str(root.get(key, m.group(0)))
+def _resolve(value: Any, root: Dict[str, Any],
+             seen: Tuple[str, ...] = ()) -> Any:
+    """Resolve ``${key}`` interpolations recursively; a whole-value
+    interpolation returns the referenced value's native type."""
+    if not isinstance(value, str):
+        return value
+    whole = _INTERP.fullmatch(value)
+    if whole:
+        key = whole.group(1)
+        if key in root and key not in seen:
+            return _resolve(root[key], root, seen + (key,))
+        return value
 
-        out = _INTERP.sub(sub, value)
-        return out
-    return value
+    def sub(m: re.Match) -> str:
+        key = m.group(1)
+        if key in root and key not in seen:
+            return str(_resolve(root[key], root, seen + (key,)))
+        return m.group(0)
+
+    return _INTERP.sub(sub, value)
 
 
 def convert_to_dot_notation(d: Dict[str, Any]) -> Config:
@@ -53,22 +72,28 @@ def convert_to_dot_notation(d: Dict[str, Any]) -> Config:
 def load_config(path: str | Path) -> Config:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
-    cfg = Config(raw)
-    for k, v in list(cfg.items()):
-        cfg[k] = _interpolate(v, cfg)
+    cfg = Config({k: _resolve(v, raw) for k, v in raw.items()})
+    object.__setattr__(cfg, "_templates", dict(raw))
     return cfg
 
 
 def merge_cli(cfg: Config, argv: Optional[Iterable[str]] = None) -> Config:
-    """Apply ``key=value`` overrides; values parse as YAML scalars."""
+    """Apply ``key=value`` overrides, then re-resolve every interpolation
+    from the raw templates (OmegaConf's lazy semantics: an override of a
+    referenced key propagates into dependent values)."""
     import sys
 
     args = list(argv) if argv is not None else sys.argv[1:]
+    templates = dict(getattr(cfg, "_templates", None) or dict(cfg))
+    # keys mutated after load (no template recorded) carry their value over
+    for k, v in cfg.items():
+        templates.setdefault(k, v)
     for arg in args:
         if "=" not in arg:
             raise ValueError(f"expected key=value, got {arg!r}")
         key, _, val = arg.partition("=")
-        cfg[key.strip()] = yaml.safe_load(val) if val != "" else None
-    for k, v in list(cfg.items()):
-        cfg[k] = _interpolate(v, cfg)
+        templates[key.strip()] = yaml.safe_load(val) if val != "" else None
+    cfg.clear()
+    cfg.update({k: _resolve(v, templates) for k, v in templates.items()})
+    object.__setattr__(cfg, "_templates", templates)
     return cfg

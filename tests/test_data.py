@@ -244,3 +244,41 @@ def test_loader_set_epoch_order_is_resumable():
     assert epoch_order(b) == order_a
     a.set_epoch(0)
     assert epoch_order(a) != order_a  # epochs really do differ
+
+
+def test_crop_ratio_none_sticks_to_first_draw(rng):
+    """CropChannelData(ratio=None): the first random draw is assigned to
+    self.ratio and reused for every later item (reference
+    utils/transforms.py:62), not redrawn per call."""
+    from stofnet_tpu.data.transforms import CropChannelData
+
+    tf = CropChannelData(ratio=None, rng=np.random.default_rng(0))
+    wf = rng.standard_normal(400).astype(np.float32)
+    tf(wf, 200.0)
+    first = tf.ratio
+    assert first is not None and 0 <= first < 1
+    tf(wf, 200.0)
+    assert tf.ratio == first
+
+
+def test_config_interpolation_lazy_and_typed(tmp_path):
+    """OmegaConf-equivalent ${} semantics: CLI overrides of a referenced
+    key propagate into dependents, whole-value interpolation keeps the
+    native type, chains resolve fully."""
+    from stofnet_tpu.utils.config import load_config, merge_cli
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "data_path: base/\n"
+        "ubx_dir: /mnt/${data_path}\n"
+        "data_dir: ${ubx_dir}\n"
+        "rf_scale_factor: 10\n"
+        "factor: ${rf_scale_factor}\n"
+    )
+    cfg = load_config(p)
+    assert cfg.data_dir == "/mnt/base/"
+    assert cfg.factor == 10 and isinstance(cfg.factor, int)
+
+    cfg = merge_cli(cfg, ["data_path=other/", "rf_scale_factor=20"])
+    assert cfg.data_dir == "/mnt/other/"  # override propagated
+    assert cfg.factor == 20
