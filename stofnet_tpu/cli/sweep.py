@@ -100,22 +100,6 @@ def run_sweep(cfg: Config, rows: Sequence[Sequence[Any]]) -> List[Dict[str, Any]
     return results
 
 
-def params_count(model_name: str, ckpt: Optional[str], cfg: Config) -> Optional[int]:
-    try:
-        from stofnet_tpu.cli.main import setup
-
-        rcfg = cfg.copy()
-        rcfg.update(model=model_name, model_file=ckpt, evaluate=True)
-        ctx = setup(rcfg)
-        import numpy as np
-        import jax
-
-        return sum(int(np.prod(np.shape(p)))
-                   for p in jax.tree.leaves(ctx["variables"]))
-    except Exception:
-        return None
-
-
 def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
     """RMSE ±std / Jaccard / Weights / Time schema
     (utils/load_table_contents.py:84-112)."""

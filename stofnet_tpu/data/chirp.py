@@ -138,9 +138,13 @@ class ChirpDataset:
             with self._draw_lock:
                 draw = self._draws[idx] = self._draws.get(idx, -1) + 1
             rng = np.random.default_rng((self._seed, idx, draw))
-            envelope, _ = self.transforms(envelope, gt_sample, rng=rng)
-            rf, gt_sample = self.transforms(rf, gt_sample, rng=rng)
-            rf_gt, _ = self.transforms(rf_gt, gt_sample, rng=rng)
+            # all three waveforms crop around the ORIGINAL GT index (the
+            # reference builds [gt_sample]*3 before any call,
+            # chirp_dataset.py:124-126); only rf's call updates gt_sample
+            gt0 = gt_sample
+            envelope, _ = self.transforms(envelope, gt0, rng=rng)
+            rf, gt_sample = self.transforms(rf, gt0, rng=rng)
+            rf_gt, _ = self.transforms(rf_gt, gt0, rng=rng)
 
         return (envelope.astype(np.float32), rf.astype(np.float32),
                 rf_gt.astype(np.float32), np.float32(gt_sample),

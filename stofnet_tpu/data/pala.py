@@ -79,7 +79,11 @@ class PalaDatasetRf:
             pos = np.asarray(data["pos"], np.float32)
 
             if temporal_filter_opt and rf.shape[0] > 1:
-                rf = np.diff(rf, axis=0, prepend=rf[:1])
+                # slow-time high-pass DROPS the first frame: keeping it as
+                # rf[0]-rf[0]=0 would make NormalizeVol divide 0/0 -> NaN
+                # and poison the first item of every sequence
+                rf = np.diff(rf, axis=0)
+                pos = pos[1:]
             if clutter_db is not None and rf.shape[0] > 2:
                 rf = self._svd_clutter(rf, float(clutter_db))
             if pow_law_opt:
@@ -142,9 +146,14 @@ class PalaDatasetRf:
         frame = self.frames[idx]  # (n_angles, C_full, L)
         frame = frame[:, :: self.ch_gap]
         if self.rescale_factor != 1:
+            # grid chosen so raw index i maps EXACTLY to upscaled index i*r,
+            # consistent with _gt_samples' samples*rescale_factor (this
+            # module defines both sides; a linspace-endpoint grid would skew
+            # GT vs waveform by up to r-1 upscaled samples at depth)
             n = frame.shape[-1]
-            x = np.linspace(0, n, n)
-            t = np.linspace(0, n, n * self.rescale_factor)
+            x = np.arange(n, dtype=np.float64)
+            t = np.arange(n * self.rescale_factor,
+                          dtype=np.float64) / self.rescale_factor
             frame = np.stack([
                 np.stack([np.interp(t, x, ch) for ch in wave])
                 for wave in frame

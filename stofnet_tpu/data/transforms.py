@@ -58,6 +58,8 @@ class CropChannelData:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, waveform: np.ndarray, gt: float, rng=None):
+        if gt is None:  # no ToA to anchor the crop on (e.g. PALA items)
+            return waveform, gt
         rng = rng or self.rng
         if self.ratio is None:
             # reference semantics (utils/transforms.py:62): the first draw

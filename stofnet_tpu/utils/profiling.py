@@ -54,13 +54,24 @@ def trace(log_dir: str = "/tmp/jax-trace"):
 
 def benchmark_fn(fn: Callable, *args, iters: int = 10,
                  warmup: int = 2) -> Dict[str, float]:
-    """Times fn(*args) with result fetch; returns ms statistics."""
+    """Times fn(*args) with result fetch; returns ms statistics.
+
+    The fetch flattens pytree outputs and np.asarray's EVERY leaf — a bare
+    np.asarray on a dict/tuple output would build a 0-d object array
+    without touching any device buffer, timing only async dispatch (on the
+    axon relay only host fetches synchronize; see module docstring)."""
+    import jax
+
+    def fetch(out):
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+
     for _ in range(warmup):
-        np.asarray(fn(*args))
+        fetch(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(fn(*args))
+        fetch(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     t = np.asarray(times)
     return {"mean_ms": float(t.mean()), "p50_ms": float(np.median(t)),

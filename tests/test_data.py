@@ -282,3 +282,50 @@ def test_config_interpolation_lazy_and_typed(tmp_path):
     cfg = merge_cli(cfg, ["data_path=other/", "rf_scale_factor=20"])
     assert cfg.data_dir == "/mnt/other/"  # override propagated
     assert cfg.factor == 20
+
+
+def test_pala_temporal_filter_drops_zero_frame(tmp_path):
+    """Slow-time high-pass must not emit an all-zero first frame (0/0 NaN
+    through NormalizeVol)."""
+    from stofnet_tpu.data.pala import PalaDatasetRf, generate_pala_dataset
+    from stofnet_tpu.data.transforms import Compose, NormalizeVol
+
+    root = generate_pala_dataset(tmp_path / "p", n_sequences=1, n_frames=4)
+    ds = PalaDatasetRf(root, sequences=[0], temporal_filter_opt=True,
+                       transforms=Compose([NormalizeVol()]))
+    assert len(ds) == 3  # first frame dropped
+    for i in range(len(ds)):
+        assert np.isfinite(ds[i][0]).all()
+
+
+def test_pala_rescale_grid_maps_gt_exactly(tmp_path):
+    """Raw index i maps exactly to upscaled index i*r so the waveform and
+    _gt_samples agree (no linspace-endpoint skew growing with depth)."""
+    from stofnet_tpu.data.pala import PalaDatasetRf, generate_pala_dataset
+
+    root = generate_pala_dataset(tmp_path / "p", n_sequences=1, n_frames=2,
+                                 n_targets=1, n_channels=8, n_samples=256)
+    r = 4
+    raw = PalaDatasetRf(root, sequences=[0], rescale_factor=1)
+    up = PalaDatasetRf(root, sequences=[0], rescale_factor=r)
+    f_raw, f_up = raw[0][0], up[0][0]
+    # the upscaled waveform at index i*r equals the raw waveform at i
+    np.testing.assert_allclose(f_up[..., ::r], f_raw, rtol=1e-5, atol=1e-6)
+    # and GT scales exactly by r
+    np.testing.assert_allclose(up[0][2], raw[0][2] * r, rtol=1e-6)
+
+
+def test_chirp_rf_gt_crops_around_original_gt(chirp_root):
+    """rf_gt is cropped around the ORIGINAL GT index like the reference's
+    [gt_sample]*3 (chirp_dataset.py:124-126), not the already-shifted one —
+    the GT echo must remain inside the rf_gt window."""
+    from stofnet_tpu.data.transforms import Compose, CropChannelData, NormalizeVol
+
+    ds = ChirpDataset(chirp_root, split_dirname="train", rf_scale_factor=4,
+                      transforms=Compose([NormalizeVol(),
+                                          CropChannelData(ratio=0.5)]),
+                      seed=1)
+    _, rf, rf_gt, gt_sample, _, _ = ds[0]
+    # the cropped rf_gt must carry signal energy (the echo), not just the
+    # zero padding a start-anchored crop would capture
+    assert np.abs(rf_gt).max() > 0.1 * np.abs(rf).max()
