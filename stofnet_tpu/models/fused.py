@@ -1,5 +1,10 @@
 """HBM-optimal StofNet inference path with Pallas-fused hot blocks.
 
+Parity target: /root/reference/models/stofnet.py:42-67 (the StofNet
+forward: conv1 -> SemiGlobalBlock :80-117 -> conv2..12 residual stack ->
+conv_last -> SampleShuffle1D), reproduced functionally over the imported
+parameter tree.
+
 ``stofnet_apply_fused(variables, x, ...)`` reproduces
 ``StofNet(...).apply(variables, x)`` exactly, but routes the
 SemiGlobalBlock's contract conv + 80x max-pool through the Pallas kernel

@@ -120,9 +120,7 @@ def params_to_state_dict(
                 sd[f"{mod}.weight"] = np.transpose(val, (1, 0))
             else:
                 sd[f"{mod}.weight"] = val
-        elif leaf in ("low_hz_", "band_hz_"):  # SincConv raw parameters
-            sd[f"{mod}.{leaf}"] = val
-        else:
+        else:  # raw named parameters (SincConv low_hz_/band_hz_, LN gamma)
             sd[f"{mod}.{leaf}"] = val
     for (*scope, leaf), val in _flatten(variables.get("batch_stats", {})):
         mod = ".".join(scope)

@@ -40,7 +40,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB.exists() and not _build():
+        stale = (_LIB.exists() and _SRC.exists()
+                 and _SRC.stat().st_mtime > _LIB.stat().st_mtime)
+        if (not _LIB.exists() or stale) and not _build():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB))
@@ -60,12 +62,40 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _py_loadtxt(path) -> np.ndarray:
+    """Pure-python fallback with the SAME semantics as the C fast path:
+    whitespace OR comma separated, '#' comments stripped, column count
+    from the first numeric line, (n,) for one column / (n, c) otherwise.
+    (np.loadtxt itself can't parse comma files and squeezes single-row
+    files to 1-D, so it is NOT a drop-in here.)"""
+    vals: list = []
+    ncols = 0
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].replace(",", " ")
+            nums = []
+            for tok in line.split():
+                try:
+                    nums.append(float(tok))
+                except ValueError:
+                    continue
+            if not nums:
+                continue
+            if ncols == 0:
+                ncols = len(nums)
+            vals.extend(nums)
+    arr = np.asarray(vals, dtype=np.float64)
+    if ncols <= 1:
+        return arr
+    return arr.reshape(-1, ncols)
+
+
 def loadtxt(path) -> np.ndarray:
     """np.loadtxt equivalent for whitespace/comma-separated numeric files
     ((n,) for one column, (n, c) otherwise)."""
     lib = get_lib()
     if lib is None:
-        return np.loadtxt(path)
+        return _py_loadtxt(path)
     bpath = str(path).encode()
     size = lib.fastload_filesize(bpath)
     if size < 0:

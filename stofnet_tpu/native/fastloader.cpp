@@ -34,13 +34,26 @@ long fastload_floats(const char* path, double* out, long cap,
     std::fclose(f);
     buf[got] = '\0';
 
+    // blank out '#' comments to end-of-line first (np.loadtxt semantics)
+    for (char* c = buf; *c; ++c) {
+        if (*c == '#') {
+            while (*c && *c != '\n') *c++ = ' ';
+            if (!*c) break;
+        }
+    }
+
     long n = 0;
     long first_line_end = -1;
     if (n_cols_out) {
-        // find the end of the first non-empty line
+        // find the end of the first line that carries a numeric character
         char* q = buf;
-        while (*q == '\n' || *q == '\r') ++q;
-        char* e = std::strchr(q, '\n');
+        char* line = buf;
+        for (; *q; ++q) {
+            if (*q == '\n') { line = q + 1; continue; }
+            if ((*q >= '0' && *q <= '9') || *q == '-' || *q == '+'
+                || *q == '.') break;
+        }
+        char* e = std::strchr(line, '\n');
         first_line_end = e ? (e - buf) : got;
         *n_cols_out = 0;
     }

@@ -180,6 +180,14 @@ def conv_stack_fused(h0: jnp.ndarray, params: Dict[str, Any],
         n += 1
         chunk = -(-length // n)
     window = chunk + 2 * OVERLAP
+    if chunk < OVERLAP or window > MAX_WINDOW:
+        # the divisor search can only land on chunks that divide L; awkward
+        # lengths (primes, or L whose divisors skip the valid band) have no
+        # safe chunking — a negative k*chunk-OVERLAP start would wrap and
+        # silently corrupt the first samples. Callers fall back to XLA.
+        raise ValueError(
+            f"fused conv stack: L={length} has no chunk divisor in "
+            f"[{OVERLAP}, {MAX_WINDOW - 2 * OVERLAP}]; use the XLA path")
     assert length >= window, "sequence too short to chunk"
 
     pieces = []

@@ -1,5 +1,8 @@
 """Fused SemiGlobalBlock contract path: conv1d(k5, 64->512) + 80x max-pool.
 
+Parity target: /root/reference/models/stofnet.py:88-91 (the
+SemiGlobalBlock's contract conv -> LeakyReLU -> MaxPool1d(80) pathway).
+
 Why a kernel: XLA materializes the (B, L, 512) conv output in HBM before the
 max-pool reduces it 80x — at B=1024, L=8000 that is ~16 GB of round-trip
 traffic per batch (and an OOM at B=2048, bf16[2048,8000,512] = 15.6 GB).
@@ -228,18 +231,18 @@ def sgb_contract_pool_trainable(h, kernel, bias, negative_slope=0.01,
 def _trainable_fwd(h, kernel, bias, negative_slope, interpret):
     pooled, off = _run(h, kernel, bias, negative_slope, interpret,
                        with_argmax=True)
-    return pooled, (h, kernel, pooled, off)
+    return pooled, (h, kernel, bias, pooled, off)
 
 
 def _trainable_bwd(negative_slope, interpret, res, g):
-    h, kernel, pooled, off = res
+    h, kernel, bias, pooled, off = res
     b, length, c = h.shape
     kk, _, f = kernel.shape
     rows = length // POOL
 
     # undo the (monotone) leaky activation: pooled sign == pre-pool sign
     g_pre = jnp.where(pooled >= 0, g, negative_slope * g).astype(jnp.float32)
-    dbias = jnp.sum(g_pre, axis=(0, 1)).astype(kernel.dtype)
+    dbias = jnp.sum(g_pre, axis=(0, 1)).astype(bias.dtype)
 
     # absolute conv-output positions selected by the pool, per (b, r, f)
     abs_pos = off + (jnp.arange(rows, dtype=jnp.int32) * POOL)[None, :, None]

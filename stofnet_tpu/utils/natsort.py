@@ -12,8 +12,11 @@ _CHUNK = re.compile(r"(\d+)")
 
 
 def natural_key(value) -> tuple:
+    # text chunks compare ordinally (case-sensitive), matching the natsort
+    # library's default that the reference uses — lowercasing would reorder
+    # mixed-case names vs the reference pipeline
     parts = _CHUNK.split(str(value))
-    return tuple(int(p) if p.isdigit() else p.lower() for p in parts)
+    return tuple(int(p) if p.isdigit() else p for p in parts)
 
 
 def natsorted(items: Iterable[T]) -> List[T]:

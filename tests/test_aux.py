@@ -158,3 +158,24 @@ def test_report_tool_empty_dir(tmp_path):
 
     with pytest.raises(SystemExit):
         report_main([f"run_dir={tmp_path / 'nothing'}"])
+
+
+def test_zip_extract_mismatched_root(tmp_path):
+    """Archive whose top-level dir differs from the zip stem: the actual
+    extracted dir is detected and returned (not a nonexistent <stem>/)."""
+    import zipfile
+
+    from stofnet_tpu.utils.zip_extract import zip_extract
+
+    src = tmp_path / "inner_dataset"
+    src.mkdir()
+    (src / "a.txt").write_text("1")
+    zpath = tmp_path / "download.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(src / "a.txt", "inner_dataset/a.txt")
+    import shutil
+
+    shutil.rmtree(src)
+    out = zip_extract(zpath)
+    assert out.name == "inner_dataset" and (out / "a.txt").exists()
+    assert zip_extract(zpath) == out  # idempotent, no re-extract loop

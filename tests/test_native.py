@@ -84,3 +84,21 @@ def test_dataset_uses_fastloader(lib_ok, tmp_path):
     env, rf, rf_gt, gt, pos, label = ds[0]
     assert rf.shape == (400,)
     assert np.isfinite(rf).all()
+
+
+def test_loadtxt_comments_and_commas(tmp_path):
+    """'#' comments are skipped (np.loadtxt semantics) and comma files
+    parse, in BOTH the C fast path and the python fallback."""
+    from stofnet_tpu.native import _py_loadtxt, loadtxt
+
+    p = tmp_path / "d.txt"
+    p.write_text("# header with numbers 16000 2\n1.5, 2.5\n3.5, 4.5  # tail\n")
+    for fn in (loadtxt, _py_loadtxt):
+        arr = fn(p)
+        np.testing.assert_allclose(arr, [[1.5, 2.5], [3.5, 4.5]])
+
+    q = tmp_path / "single_row.txt"
+    q.write_text("1.0 2.0 3.0\n")
+    for fn in (loadtxt, _py_loadtxt):
+        arr = fn(q)
+        assert arr.shape == (1, 3)
