@@ -131,11 +131,16 @@ def test_find_threshold_global_pos_label(rng):
     masks_true[0, 0, [5, 30]] = 1.0
     masks_true[1, 0, [7, 40]] = 2.0  # global max lives in element 1
 
+    import warnings
+
     ours = find_threshold(masks_pred, masks_true)
-    ref = ref_find_threshold(
-        torch.from_numpy(masks_pred.copy()), torch.from_numpy(masks_true),
-        window_size=20, norm_opt=False,
-    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # sklearn's expected
+        # UndefinedMetricWarning for the all-negative element
+        ref = ref_find_threshold(
+            torch.from_numpy(masks_pred.copy()),
+            torch.from_numpy(masks_true), window_size=20, norm_opt=False,
+        )
     assert np.isinf(ref) and np.isinf(ours)
 
 
