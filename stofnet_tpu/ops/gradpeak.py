@@ -13,10 +13,13 @@ edge positions live in fixed (B, MAX_EDGES) slots (invalid = sentinel),
 pairing is an all-pairs (MAX_EDGES, MAX_EDGES) argmin, and the uniqueness
 constraint is an O(K^2) masked comparison — all fused by XLA, no host sync.
 Validity envelope: results match the reference exactly while per-row edge
-counts stay <= max_edges (128) AND kept pairs stay <= max_echoes (64);
-beyond max_echoes the latest-arriving echoes are silently truncated where
-the reference returns a ragged row (downstream metrics then count them as
-false negatives).
+counts stay <= max_edges AND kept pairs stay <= max_echoes; beyond
+max_echoes the WEAKEST-amplitude pairs are dropped (the reference returns
+a ragged row; since its echo_max pruning selects by amplitude,
+strongest-first truncation preserves the reference's picks — verified
+end-to-end in tests/test_eval_protocol_parity.py where the tiny
+auto-threshold yields ~90 pairs/row). toa_detect sizes max_edges
+adaptively with the waveform length (capped at 2048).
 """
 
 from __future__ import annotations
@@ -124,9 +127,22 @@ def grad_peak_detect(
     dup = (eq & earlier[None] & valid[:, None, :]).any(-1)
     keep = valid & ~dup
 
-    # compact kept pairs to the first max_echoes slots, ascending peak time
-    key = jnp.where(keep, am, _BIG)
-    order = jnp.argsort(key, axis=-1)[:, :max_echoes]
+    # compact kept pairs into max_echoes slots. When a row has MORE kept
+    # pairs than slots (tiny auto-thresholds on noisy data), keep the
+    # STRONGEST-amplitude pairs — the reference keeps all pairs (ragged)
+    # and its echo_max pruning then picks by amplitude (gradpeak.py:107-114),
+    # so truncating by arrival time instead would silently drop strong deep
+    # echoes that the reference finds. Slots are then ordered by ascending
+    # peak time with empty slots last (the unpruned reference layout).
+    amp_all = jnp.take_along_axis(
+        data, jnp.clip(am, 0, data.shape[-1] - 1), axis=-1)
+    strength = jnp.where(keep, amp_all, -jnp.inf)
+    top = lax.top_k(strength, max_echoes)[1]  # strongest kept pairs
+    kept_t = jnp.take_along_axis(keep, top, axis=-1)
+    am_t = jnp.take_along_axis(am, top, axis=-1)
+    tkey = jnp.where(kept_t, am_t, _BIG)
+    order = jnp.take_along_axis(top, jnp.argsort(tkey, axis=-1), axis=-1)
+
     onset = jnp.take_along_axis(ap_sel, order, axis=-1)
     peak = jnp.take_along_axis(am, order, axis=-1)
     kept = jnp.take_along_axis(keep, order, axis=-1)
@@ -167,6 +183,7 @@ def toa_detect(
     rescale_factor: int = 1,
     echo_max: Optional[int] = None,
     max_echoes: int = 64,
+    max_edges: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full classical pipeline on raw RF frames (B, L): envelope ->
     grad_peak_detect -> optional strongest-echo pruning."""
@@ -177,6 +194,12 @@ def toa_detect(
     # unrunnable upstream. Substitute grad_peak_detect's documented default
     # spacing (2, gradpeak.py:13) so the default config works here; for
     # rescale_factor >= 6 the spacing matches the reference exactly.
+    if max_edges is None:
+        # the reference's edge lists are ragged/unbounded; size the static
+        # slots to the waveform so deep echoes survive even when the tiny
+        # auto-threshold (std**16*1.2e13 on normalized data) admits noise
+        # edges all along the record. O(max_edges^2) pairing: capped at 2048.
+        max_edges = int(min(2048, max(128, -(-frame.shape[-1] // 8) )))
     echoes = grad_peak_detect(
         env,
         grad_step=rescale_factor // 6 * 5 if rescale_factor // 6 * 5 > 0 else 2,
@@ -184,6 +207,7 @@ def toa_detect(
         ival_smax=50 * rescale_factor,
         threshold=threshold,
         max_echoes=max_echoes,
+        max_edges=max_edges,
     )
     if echo_max is not None and echo_max < max_echoes:
         echoes = reduce_echoes(echoes, echo_max)
