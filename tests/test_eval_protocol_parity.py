@@ -132,3 +132,51 @@ def test_gradpeak_protocol_matches_reference(chirp_root, tmp_path):
 
     assert ours["total_distance_mean"] == pytest.approx(ref_dist, abs=0.1)
     assert ours["total_jaccard"] == pytest.approx(ref_jacc, abs=0.5)
+
+
+def test_zonzini_protocol_matches_reference(chirp_root, tmp_path):
+    """Regression-path protocol (main.py:332-347): raw scalar prediction
+    straight into toa_rmse, shipped graceful-wave weights."""
+    if reference.ckpt_path("graceful-wave") is None:
+        pytest.skip("reference ckpts unavailable")
+    from models import ZonziniNetSmall as TorchZonzini
+    from utils.metrics import toa_rmse
+
+    from stofnet_tpu.data.transforms import Compose, NormalizeVol
+
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(run_dir=str(tmp_path / "runs"),
+               ckpt_dir="/root/reference/ckpts",
+               data_dir=str(chirp_root), evaluate=True, batch_size=2,
+               model="zonzini", model_file="graceful-wave", th=None,
+               rf_scale_factor=RF_SCALE, max_echoes=8, etol=ETOL,
+               save_artifacts=False)
+    ours = run(cfg)
+
+    tm = TorchZonzini()
+    tm.load_state_dict(torch.load(
+        str(reference.ckpt_path("graceful-wave")), map_location="cpu",
+        weights_only=True))
+    tm.eval()
+    ds = ChirpDataset(chirp_root, split_dirname="test",
+                      rf_scale_factor=RF_SCALE,
+                      transforms=Compose([NormalizeVol()]))
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    dists, jaccs = [], []
+    with torch.no_grad():
+        for batch in loader:
+            _, rfd, _, gt_sample, _, _ = batch
+            frame = torch.from_numpy(rfd.astype(np.float32)).unsqueeze(1)
+            gt = torch.from_numpy(
+                gt_sample.astype(np.float32)).reshape(-1, 1)
+            gt[(gt <= 0) | torch.isnan(gt)] = 0
+            es = tm(frame)  # (B, 1) scalar ToA, main.py:334
+            errs = toa_rmse(gt, es, tol=ETOL)
+            dists.append(errs[:, 0].numpy())
+            jaccs.append(errs[:, 3].numpy())
+    ref_dist = float(np.nanmean(np.concatenate(dists)))
+    ref_jacc = float(np.nanmean(np.concatenate(jaccs)))
+
+    assert ours["total_distance_mean"] == pytest.approx(ref_dist, abs=0.05,
+                                                        nan_ok=True)
+    assert ours["total_jaccard"] == pytest.approx(ref_jacc, abs=0.5)
