@@ -3,12 +3,17 @@ collective tests run without TPU hardware, and keep goldens deterministic."""
 
 import os
 
-# set env first (effective when jax has not been imported yet)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# set env first (effective when jax has not been imported yet); REPLACE any
+# pre-existing device-count flag — tests require exactly 8 virtual devices
+# (CLAUDE.md: "conftest forces the cpu backend + 8 virtual devices
+# regardless"), so an inherited '=1' must not win
+import re
+
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+               os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 

