@@ -180,3 +180,57 @@ def test_zonzini_protocol_matches_reference(chirp_root, tmp_path):
     assert ours["total_distance_mean"] == pytest.approx(ref_dist, abs=0.05,
                                                         nan_ok=True)
     assert ours["total_jaccard"] == pytest.approx(ref_jacc, abs=0.5)
+
+
+def test_unet_protocol_matches_reference(chirp_root, tmp_path):
+    """Wave-U-Net branch: the driver folds upsampling into input
+    interpolation (main.py:44-46: rf_scale *= upsample, upsample = 1)
+    BEFORE the dataset build — verified end-to-end vs the reference flow
+    (no ckpt ships; both sides run the same random torch init)."""
+    from models import WaveUnet as TorchWaveUnet
+    from utils.mask2samples import mask2coords
+    from utils.metrics import toa_rmse
+
+    from stofnet_tpu.data.transforms import Compose, NormalizeVol
+    from stofnet_tpu.models.registry import export_checkpoint
+    from stofnet_tpu.models import build_model
+
+    torch.manual_seed(0)
+    tm = TorchWaveUnet(n_layers=2, channels_interval=16)  # chirp config
+    tm.eval()
+    pth = tmp_path / "unet.pth"
+    torch.save(tm.state_dict(), pth)
+
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(run_dir=str(tmp_path / "runs"), ckpt_dir=str(tmp_path),
+               data_dir=str(chirp_root), evaluate=True, batch_size=2,
+               model="unet", model_file="unet", th=None,
+               rf_scale_factor=2, upsample_factor=4, max_echoes=8,
+               etol=ETOL, save_artifacts=False)
+    ours = run(cfg)
+    assert cfg.rf_scale_factor == 8 and cfg.upsample_factor == 1  # folded
+
+    # reference flow: dataset at the folded rf scale, model at x1
+    ds = ChirpDataset(chirp_root, split_dirname="test", rf_scale_factor=8,
+                      transforms=Compose([NormalizeVol()]))
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    dists, jaccs = [], []
+    with torch.no_grad():
+        for batch in loader:
+            _, rfd, _, gt_sample, _, _ = batch
+            frame = torch.from_numpy(rfd.astype(np.float32)).unsqueeze(1)
+            gt = torch.from_numpy(
+                gt_sample.astype(np.float32)).reshape(-1, 1)
+            gt[(gt <= 0) | torch.isnan(gt)] = 0
+            masks_pred = tm(frame)
+            es = mask2coords(masks_pred, window_size=20, threshold=None,
+                             upsample_factor=1)
+            errs = toa_rmse(gt, es, tol=ETOL)
+            dists.append(errs[:, 0].numpy())
+            jaccs.append(errs[:, 3].numpy())
+    ref_dist = float(np.nanmean(np.concatenate(dists)))
+    ref_jacc = float(np.nanmean(np.concatenate(jaccs)))
+
+    assert ours["total_distance_mean"] == pytest.approx(ref_dist, abs=0.05,
+                                                        nan_ok=True)
+    assert ours["total_jaccard"] == pytest.approx(ref_jacc, abs=0.5)
