@@ -172,3 +172,72 @@ def test_coords2mask_drops_out_of_range():
     assert mask[0, 10] == 1.0
     assert mask.sum() == 1.0  # 300 dropped, -5 and 0 parked at slot 0 (=0)
     assert mask[0, 255] == 0.0 and mask[0, 0] == 0.0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
+def test_decode_fuzz_matches_reference(seed):
+    """Randomized sweep over decode configurations: NMS window, threshold
+    mode (incl. the knife-edge per-channel-max mode), upsample factor, and
+    raw-noise heatmaps (maximal tie risk) — detections must match the
+    reference for every draw."""
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    r = np.random.default_rng(seed)
+    for _ in range(6):
+        b = int(r.integers(1, 5))
+        l = int(r.choice([256, 500, 1024]))
+        window = int(r.choice([5, 11, 20, 33]))
+        upsample = int(r.choice([1, 2, 4]))
+        th = r.choice([None, 0.05, 0.5, 2.0])
+        th = None if th is None else float(th)
+        if r.random() < 0.5:
+            hm = make_heatmap(r, b=b, l=l, peaks=int(r.integers(1, 9)))
+        else:  # raw noise: every sample is a potential NMS tie
+            hm = r.standard_normal((b, 1, l)).astype(np.float32)
+
+        ours = np.asarray(mask2coords(
+            jnp.asarray(hm), window_size=window, threshold=th,
+            upsample_factor=upsample, max_echoes=l))
+        ref = ref_mask2coords(
+            torch.from_numpy(hm.copy()), window_size=window, threshold=th,
+            upsample_factor=upsample).numpy()
+        for bi in range(b):
+            ours_v = np.sort(ours[bi][ours[bi] != 0])
+            ref_v = np.sort(ref[bi][ref[bi] != 0])
+            np.testing.assert_allclose(
+                ours_v, ref_v, rtol=1e-6,
+                err_msg=f"seed={seed} b={b} l={l} w={window} "
+                        f"up={upsample} th={th}")
+
+
+@pytest.mark.parametrize("seed", [13, 29, 47])
+def test_toa_rmse_fuzz_matches_reference(seed):
+    """Randomized ragged GT/est sets (zeros, NaN, Inf, duplicates, empty
+    rows) through the tolerance matcher — all 7 metric columns must match
+    the reference row for row."""
+    from utils.metrics import toa_rmse as ref_toa
+
+    from stofnet_tpu.train.metrics import toa_rmse as our_toa
+
+    r = np.random.default_rng(seed)
+    for _ in range(8):
+        b = int(r.integers(1, 6))
+        g = int(r.integers(1, 9))
+        e = int(r.integers(1, 9))
+        tol = float(r.choice([1.0, 9.0, 100.0, 1600.0]))
+        gt = r.uniform(0, 500, (b, g)).astype(np.float32)
+        es = r.uniform(0, 500, (b, e)).astype(np.float32)
+        # inject invalids like real decoder output
+        gt[r.random((b, g)) < 0.3] = 0.0
+        es[r.random((b, e)) < 0.3] = 0.0
+        if g > 1:
+            gt[r.random((b, g)) < 0.1] = np.nan
+        if e > 1:
+            es[r.random((b, e)) < 0.1] = np.inf
+
+        ours = np.asarray(our_toa(jnp.asarray(gt), jnp.asarray(es), tol=tol))
+        ref = ref_toa(torch.from_numpy(gt.copy()),
+                      torch.from_numpy(es.copy()), tol=tol).numpy()
+        np.testing.assert_allclose(
+            ours, ref, rtol=1e-5, atol=1e-5, equal_nan=True,
+            err_msg=f"seed={seed} b={b} g={g} e={e} tol={tol}")
