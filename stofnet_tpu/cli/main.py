@@ -256,6 +256,15 @@ def setup(cfg: Config):
                 n_layers = 2 if kind == "chirp" else 10
                 variables = load_model_variables(cfg.model, path, n_layers)
                 print(f"loaded checkpoint {path}", file=sys.stderr)
+            else:
+                # the reference silently skips a non-matching prefix and
+                # runs the fresh init (main.py:174-177); keep the no-crash
+                # semantics but make the benchmark-integrity hazard LOUD
+                print(f"WARNING: checkpoint prefix {cfg.model_file!r} not "
+                      f"found in {cfg.ckpt_dir} or /root/reference/ckpts — "
+                      f"continuing with RANDOM INIT (reference semantics); "
+                      f"metrics will not reflect trained weights",
+                      file=sys.stderr)
         if variables is None:
             L = info["sample_num"] * int(cfg.rf_scale_factor)
             variables = model.init(jax.random.key(int(cfg.seed)),
@@ -377,6 +386,13 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                     "val_toa_precision": _nanmean(metrics[:, 1]),
                     "val_toa_recall": _nanmean(metrics[:, 2]),
                     "val_toa_jaccard": _nanmean(metrics[:, 3])})
+
+    if val_step == 0:
+        raise ValueError(
+            f"evaluation produced no batches: the eval split has "
+            f"{len(ctx['dataset'])} item(s) and batch_size="
+            f"{cfg.batch_size} with drop_last — an all-NaN summary would "
+            f"be reported otherwise; lower batch_size or enlarge the split")
 
     dist = np.asarray(total["distance"], dtype=np.float64)
     summary = {

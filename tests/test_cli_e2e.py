@@ -253,3 +253,24 @@ def test_train_nan_guard(chirp_root, tmp_path, monkeypatch):
                    lr=1e30)  # guaranteed blow-up within the first epoch
     with pytest.raises(RuntimeError, match="non-finite train loss"):
         run(cfg)
+
+
+def test_evaluate_empty_split_raises(chirp_root, tmp_path):
+    """batch_size > eval split with drop_last must error, not report an
+    all-NaN benchmark summary."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                   batch_size=512, model="espcn", th=None,
+                   rf_scale_factor=4, max_echoes=8)
+    with pytest.raises(ValueError, match="no batches"):
+        run(cfg)
+
+
+def test_missing_ckpt_prefix_warns_and_runs(chirp_root, tmp_path, capsys):
+    """Non-matching model_file prefix: reference semantics (run the fresh
+    init, main.py:174-177) but with a loud stderr warning."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                   batch_size=2, model="espcn", model_file="no-such-ckpt",
+                   th=None, rf_scale_factor=4, max_echoes=8)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    assert "RANDOM INIT" in capsys.readouterr().err
