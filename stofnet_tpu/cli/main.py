@@ -436,6 +436,12 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     val_loader = DataLoader(ds, val_idx, batch_size=int(cfg.batch_size),
                             drop_last=True, num_workers=nw)
 
+    if int(cfg.epochs) > 0 and len(train_loader) == 0:
+        raise ValueError(
+            f"training would run zero steps: the train split has "
+            f"{len(train_idx)} item(s) and batch_size={cfg.batch_size} "
+            f"with drop_last; lower batch_size or enlarge the dataset")
+
     lcfg = _loss_config(cfg, ctx["model_kind"])
     optimizer, schedule = make_optimizer(
         lr=float(cfg.lr), weight_decay=float(cfg.weight_decay),

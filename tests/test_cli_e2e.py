@@ -274,3 +274,11 @@ def test_missing_ckpt_prefix_warns_and_runs(chirp_root, tmp_path, capsys):
     out = run(cfg)
     assert np.isfinite(out["val_loss"])
     assert "RANDOM INIT" in capsys.readouterr().err
+
+
+def test_train_empty_split_raises(chirp_root, tmp_path):
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=512, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, crop_ratio=0.75)
+    with pytest.raises(ValueError, match="zero steps"):
+        run(cfg)
