@@ -441,6 +441,11 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             f"training would run zero steps: the train split has "
             f"{len(train_idx)} item(s) and batch_size={cfg.batch_size} "
             f"with drop_last; lower batch_size or enlarge the dataset")
+    if int(cfg.epochs) > 0 and len(val_loader) == 0:
+        raise ValueError(
+            f"validation split is empty ({len(val_idx)} item(s) < "
+            f"batch_size={cfg.batch_size} with drop_last): val_loss and "
+            f"early stopping would run on zero batches")
 
     lcfg = _loss_config(cfg, ctx["model_kind"])
     optimizer, schedule = make_optimizer(

@@ -282,3 +282,14 @@ def test_train_empty_split_raises(chirp_root, tmp_path):
                    rf_scale_factor=4, max_echoes=8, crop_ratio=0.75)
     with pytest.raises(ValueError, match="zero steps"):
         run(cfg)
+
+
+def test_train_empty_val_split_raises(chirp_root, tmp_path):
+    """Train split fits but the 20% val split is smaller than a batch:
+    early stopping on zero val batches must error, not drive on 0.0."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=8, model="espcn", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, crop_ratio=0.75)
+    # chirp_root train split has 12 items -> train 10 / val 2 < batch 8
+    with pytest.raises(ValueError, match="validation split is empty"):
+        run(cfg)
