@@ -57,6 +57,12 @@ def _ref_detect(x, **kw):
     return ref_gpd(env, **kw).numpy()
 
 
+def _ref_env(x):
+    from utils.hilbert import hilbert_transform
+
+    return hilbert_transform(torch.from_numpy(x)).numpy()
+
+
 @pytest.mark.parametrize("threshold,scale", [(None, 200.0), (0.002, 1.0)])
 def test_grad_peak_detect_matches_reference(rng, threshold, scale):
     """threshold=None exercises the auto heuristic std**16*1.2e13, which only
@@ -167,3 +173,43 @@ def test_reduce_echoes_zero_slots_first(rng):
         nz = np.nonzero(times)[0]
         if nz.size and nz.size < times.size:
             assert nz[0] == times.size - nz.size  # zeros packed in front
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_pairing_fuzz_matches_reference(seed):
+    """Randomized sweep of the vectorized hysteresis pairing vs the
+    reference's per-row loop: random echo layouts, grad steps, thresholds
+    and intervals (b=1 rows: the reference aborts whole batches when any
+    row is empty, gradpeak.py:56-57). Compares the full (onset, peak)
+    pair sets."""
+    r = np.random.default_rng(seed)
+    for _ in range(8):
+        l = int(r.choice([1500, 2400, 4000]))
+        n_echo = int(r.integers(1, 5))
+        pos = np.sort(r.choice(np.arange(150, l - 150), n_echo,
+                               replace=False))
+        t = np.arange(l)
+        x = np.zeros(l, np.float32)
+        for k, p in enumerate(pos):
+            amp = 0.4 + 0.6 * r.random()
+            x += amp * np.exp(-0.5 * ((t - p) / (20 + 30 * r.random())) ** 2
+                              ) * np.sin(2 * np.pi * t / 40.0)
+        x += 0.01 * r.standard_normal(l).astype(np.float32)
+        x = x[None].astype(np.float32)
+
+        gs = int(r.choice([4, 5, 8]))
+        th = float(r.choice([0.02, 0.05, 0.1]))
+        smin, smax = int(r.integers(2, 10)), int(r.integers(40, 200))
+
+        ref = _ref_detect(x, grad_step=gs, threshold=th, ival_smin=smin,
+                          ival_smax=smax)
+        ref_pairs = (sorted(map(tuple, ref[0][ref[0][:, 1] > 0][:, :2]
+                                 .astype(int))) if ref.size else [])
+        ours = np.asarray(grad_peak_detect(
+            jnp.asarray(np.abs(_ref_env(x))), grad_step=gs, threshold=th,
+            ival_smin=smin, ival_smax=smax, max_echoes=256, max_edges=512))
+        our_pairs = sorted(map(tuple,
+                               ours[0][ours[0][:, 1] > 0][:, :2].astype(int)))
+        assert our_pairs == ref_pairs, (
+            f"seed={seed} l={l} gs={gs} th={th} ival=({smin},{smax}): "
+            f"ours={our_pairs[:6]} ref={ref_pairs[:6]}")
