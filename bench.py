@@ -31,6 +31,13 @@ Prints exactly ONE JSON line; vs_baseline is the speedup over the measured
 CPU PyTorch reference (6.9 waveforms/s, BASELINE.md). Extra keys carry the
 per-path numbers.
 
+Resilience (r2 post-mortem: BENCH_r02 died rc=1 on ONE unretried
+FAILED_PRECONDITION fetch): every main-path fetch goes through ``fetch()``
+(3x bounded retry, 75 s backoff), and an outer ``respawn_on_failure`` belt
+re-execs the whole process (fresh interpreter, fresh axon chip claim) up to
+3 attempts with a 120 s wedge-recovery wait — a wedged claim poisons the
+backend for the whole process, so only a re-exec can recover it.
+
 Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
@@ -42,6 +49,7 @@ Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -53,10 +61,59 @@ LENGTH = 8000
 V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e (v5 lite) bf16 systolic peak
 MOSAIC_RETRIES = 3
 MOSAIC_BACKOFF_S = 30.0
+FETCH_RETRIES = 3
+FETCH_BACKOFF_S = 75.0
+PROCESS_ATTEMPTS = 3
+PROCESS_BACKOFF_S = 120.0
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def fetch(thunk, what: str = "fetch"):
+    """Run a device computation + host fetch with bounded in-process retries.
+
+    The axon relay intermittently fails a fetch with FAILED_PRECONDITION
+    (claim wedge after a killed process, ~1-2 min recovery) — r2's bench
+    died with rc=1 on exactly one such fault at its first fetch. Transient
+    faults recover here; a permanently wedged backend is handled one level
+    up by ``respawn_on_failure``.
+    """
+    last = None
+    for attempt in range(1, FETCH_RETRIES + 1):
+        try:
+            return thunk()
+        except Exception as e:  # noqa: BLE001 - relay faults are untyped
+            last = e
+            log(f"{what}: attempt {attempt}/{FETCH_RETRIES} failed "
+                f"({type(e).__name__}: {str(e)[:160]})")
+            if attempt < FETCH_RETRIES:
+                time.sleep(FETCH_BACKOFF_S)
+    raise last
+
+
+def respawn_on_failure(fn) -> None:
+    """Outer resilience belt. A wedged TPU claim poisons the whole backend
+    for this process (every later fetch fails too), so in-process retries
+    cannot save it; instead wait out the wedge (~1-2 min per CLAUDE.md) and
+    re-exec for a fresh interpreter + fresh chip claim. Bounded by
+    STOFNET_BENCH_ATTEMPT. Exactly one JSON line is ever printed: failed
+    attempts die before printing, and exec replaces the process image."""
+    attempt = int(os.environ.get("STOFNET_BENCH_ATTEMPT", "1"))
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001
+        log(f"bench attempt {attempt}/{PROCESS_ATTEMPTS} died: "
+            f"{type(e).__name__}: {str(e)[:300]}")
+        if attempt >= PROCESS_ATTEMPTS:
+            raise
+        log(f"re-exec with a fresh chip claim in {PROCESS_BACKOFF_S:.0f}s")
+        time.sleep(PROCESS_BACKOFF_S)
+        os.environ["STOFNET_BENCH_ATTEMPT"] = str(attempt + 1)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def setup():
@@ -181,13 +238,24 @@ def sustained_wf_s(body_fn, variables, batch, k, length=LENGTH):
         return cs
 
     xs = stage(jax.random.key(0))  # ~205 MB staged in HBM at the default
-    np.asarray(run(variables, xs))  # compile + warm
+    fetch(lambda: np.asarray(run(variables, xs)),
+          f"stream warmup B={batch}")  # compile + warm
     best = float("inf")
-    for _ in range(3):  # best-of-3: relay/chip load varies +-20% run-to-run
-        t0 = time.perf_counter()
-        cs = np.asarray(run(variables, xs))
-        best = min(best, time.perf_counter() - t0)
-        assert cs.shape == (k, batch, 8)
+    ok = 0
+    for i in range(3):  # best-of-3: relay/chip load varies +-20% run-to-run
+        try:
+            t0 = time.perf_counter()
+            cs = np.asarray(run(variables, xs))
+            dt = time.perf_counter() - t0
+            assert cs.shape == (k, batch, 8)
+            best = min(best, dt)
+            ok += 1
+        except Exception as e:  # noqa: BLE001 - drop the iteration, keep best
+            log(f"timed stream iteration {i + 1}/3 failed "
+                f"({type(e).__name__}: {str(e)[:120]})")
+            time.sleep(FETCH_BACKOFF_S)
+    if not ok:
+        raise RuntimeError(f"all timed stream iterations failed (B={batch})")
     return batch * k / best, best / k
 
 
@@ -199,16 +267,20 @@ def host_fed_wf_s(pipe, variables, batches, iters=10):
     import jax
     import jax.numpy as jnp
 
-    np.asarray(pipe(variables, jnp.asarray(batches[0])))  # warm
-    t0 = time.perf_counter()
-    nxt = jax.device_put(jnp.asarray(batches[0]))
-    for i in range(iters):
-        cur = nxt
-        if i + 1 < iters:
-            nxt = jax.device_put(jnp.asarray(batches[(i + 1) % len(batches)]))
-        np.asarray(pipe(variables, cur))
-    dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    def measure():
+        np.asarray(pipe(variables, jnp.asarray(batches[0])))  # warm
+        t0 = time.perf_counter()
+        nxt = jax.device_put(jnp.asarray(batches[0]))
+        for i in range(iters):
+            cur = nxt
+            if i + 1 < iters:
+                nxt = jax.device_put(
+                    jnp.asarray(batches[(i + 1) % len(batches)]))
+            np.asarray(pipe(variables, cur))
+        dt = time.perf_counter() - t0
+        return BATCH * iters / dt
+
+    return fetch(measure, "host-fed measurement")
 
 
 def measure_mfu(pipe, variables, x, wf_s):
@@ -241,6 +313,12 @@ def oom_demo():
         msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
         hits = [ln.strip() for ln in msg.splitlines()
                 if re.search(r"(?i)ran out of memory|exceeded hbm", ln)]
+        if not hits and re.search(r"(?i)failed.?precondition|unavailable",
+                                  msg):
+            # a relay/claim fault, not a memory outcome: recording it as a
+            # path result would fake the experiment — escalate to the
+            # process-level respawn belt instead
+            raise e
         return (f"{type(e).__name__}: " +
                 ("; ".join(hits[:2]) if hits else msg[:200]))
 
@@ -351,7 +429,8 @@ def train_bench() -> None:
         return jax.lax.scan(body, state, (xs, gt, gt_true))
 
     (state1, losses) = run_steps(state, xs, gt, gt_true)
-    losses = np.asarray(losses)  # compile + warm + fetch-sync
+    losses = fetch(lambda: np.asarray(losses),
+                   "train warmup")  # compile + warm + fetch-sync
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -410,8 +489,10 @@ def main() -> None:
     # decode-parity gate: bf16 must reproduce f32 ToA coords on this batch
     pipe_f32 = make_xla_pipeline(overrides, None)
     pipe_bf16 = make_xla_pipeline(overrides, jnp.bfloat16)
-    c32 = np.asarray(pipe_f32(variables, x))
-    c16 = np.asarray(pipe_bf16(variables, x))
+    c32 = fetch(lambda: np.asarray(pipe_f32(variables, x)),
+                "f32 parity gate")  # r2's bench died unretried on this line
+    c16 = fetch(lambda: np.asarray(pipe_bf16(variables, x)),
+                "bf16 parity gate")
     agree = np.mean(np.abs(c32 - c16) <= 1.0)
     use_bf16 = bool(agree >= 0.99)
     log(f"bf16/f32 coord agreement: {agree:.4f} -> using "
@@ -419,12 +500,15 @@ def main() -> None:
     pipe_xla = pipe_bf16 if use_bf16 else pipe_f32
 
     # per-call latency through the relay (harness-bound, stderr only)
-    np.asarray(pipe_xla(variables, x))
-    t0 = time.perf_counter()
-    for _ in range(5):
+    try:
         np.asarray(pipe_xla(variables, x))
-    log(f"per-call latency B={BATCH} (relay-bound): "
-        f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(pipe_xla(variables, x))
+        log(f"per-call latency B={BATCH} (relay-bound): "
+            f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
+    except Exception as e:  # noqa: BLE001 - stderr-only number, never fatal
+        log(f"per-call latency probe failed ({type(e).__name__}); skipping")
 
     wf_xla, dt = sustained_wf_s(pipe_xla, variables, BATCH, 50)
     log(f"stream B={BATCH} k=50 (xla): {dt * 1e3:.2f} ms/batch "
@@ -467,9 +551,14 @@ def main() -> None:
         log(f"XLA cost analysis: {flops_per_wf / 1e9:.2f} GFLOP/waveform -> "
             f"{mfu:.1f}% MFU of v5e bf16 peak")
 
-    wf_host = host_fed_wf_s(pipe_xla, variables,
-                            [make_input(BATCH) for _ in range(4)])
-    log(f"host-fed B={BATCH} (incl. relay transfer): {wf_host:.1f} wf/s")
+    try:
+        wf_host = host_fed_wf_s(pipe_xla, variables,
+                                [make_input(BATCH) for _ in range(4)])
+        log(f"host-fed B={BATCH} (incl. relay transfer): {wf_host:.1f} wf/s")
+    except Exception as e:  # noqa: BLE001 - least important key; keep headline
+        log(f"host-fed measurement failed after retries "
+            f"({type(e).__name__}); reporting null")
+        wf_host = None
 
     print(json.dumps({
         "metric": "stofnet_rf_to_tof_throughput",
@@ -480,7 +569,7 @@ def main() -> None:
         "xla_wf_s": round(wf_xla, 1),
         "packed_wf_s": round(wf_packed, 1) if wf_packed else None,
         "pallas_wf_s": round(wf_fused, 1) if wf_fused else None,
-        "host_fed_wf_s": round(wf_host, 1),
+        "host_fed_wf_s": round(wf_host, 1) if wf_host else None,
         "mfu_pct": round(mfu, 1) if mfu is not None else None,
         "gflop_per_waveform": round(flops_per_wf / 1e9, 2)
         if flops_per_wf else None,
@@ -489,12 +578,12 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--oom-demo" in sys.argv:
-        oom_demo()
+        respawn_on_failure(oom_demo)
     elif "--scaling" in sys.argv:
-        scaling()
+        respawn_on_failure(scaling)
     elif "--train" in sys.argv:
-        train_bench()
+        respawn_on_failure(train_bench)
     elif "--lscaling" in sys.argv:
-        length_scaling()
+        respawn_on_failure(length_scaling)
     else:
-        main()
+        respawn_on_failure(main)

@@ -179,3 +179,49 @@ def test_zip_extract_mismatched_root(tmp_path):
     out = zip_extract(zpath)
     assert out.name == "inner_dataset" and (out / "a.txt").exists()
     assert zip_extract(zpath) == out  # idempotent, no re-extract loop
+
+
+def test_bench_fetch_retries(monkeypatch):
+    """bench.fetch recovers transient relay faults and bounds its retries
+    (r2 post-mortem: one unretried FAILED_PRECONDITION killed BENCH_r02)."""
+    import bench
+
+    monkeypatch.setattr(bench, "FETCH_BACKOFF_S", 0.0)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return 7
+
+    assert bench.fetch(flaky, "probe") == 7 and calls["n"] == 3
+
+    def dead():
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError, match="permanent"):
+        bench.fetch(dead, "probe")
+
+
+def test_bench_respawn_bounded(monkeypatch):
+    """At the attempt ceiling the belt re-raises instead of exec-ing (the
+    driver then records rc=1 with the real traceback)."""
+    import bench
+
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", str(bench.PROCESS_ATTEMPTS))
+    execs = []
+    monkeypatch.setattr(bench.os, "execv", lambda *a: execs.append(a))
+
+    def boom():
+        raise RuntimeError("wedged")
+
+    with pytest.raises(RuntimeError, match="wedged"):
+        bench.respawn_on_failure(boom)
+    assert not execs
+
+    # below the ceiling it sleeps then execs a fresh interpreter
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", "1")
+    monkeypatch.setattr(bench, "PROCESS_BACKOFF_S", 0.0)
+    bench.respawn_on_failure(boom)
+    assert len(execs) == 1 and execs[0][0] == bench.sys.executable
