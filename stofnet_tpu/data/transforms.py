@@ -53,18 +53,20 @@ class CropChannelData:
 
     def __init__(self, ratio: Optional[float] = None, resize: bool = False,
                  rng: Optional[np.random.Generator] = None):
-        self.ratio = ratio
         self.resize = resize
         self.rng = rng or np.random.default_rng()
+        # reference semantics (utils/transforms.py:62): with ratio=None the
+        # first draw STICKS — every later item crops with the same width.
+        # Drawn HERE (not lazily in __call__) so the run-wide width is a
+        # deterministic function of the construction rng: under the
+        # threaded loader a lazy first draw races on which item's per-item
+        # rng gets there first, making ratio=None runs irreproducible.
+        self.ratio = float(self.rng.random()) if ratio is None else ratio
 
     def __call__(self, waveform: np.ndarray, gt: float, rng=None):
         if gt is None:  # no ToA to anchor the crop on (e.g. PALA items)
             return waveform, gt
         rng = rng or self.rng
-        if self.ratio is None:
-            # reference semantics (utils/transforms.py:62): the first draw
-            # STICKS — every subsequent item crops with the same width
-            self.ratio = float(rng.random())
         ratio = self.ratio
         if not (0 < ratio < 1):
             return waveform, gt

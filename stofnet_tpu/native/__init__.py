@@ -65,20 +65,25 @@ def available() -> bool:
 def _py_loadtxt(path) -> np.ndarray:
     """Pure-python fallback with the SAME semantics as the C fast path:
     whitespace OR comma separated, '#' comments stripped, column count
-    from the first numeric line, (n,) for one column / (n, c) otherwise.
+    from the first numeric line, (n,) for one column / (n, c) otherwise,
+    and a LOUD ValueError on unparseable tokens — silently dropping one
+    would shift every subsequent value and surface (if at all) as a
+    confusing reshape error far from the corrupt file.
     (np.loadtxt itself can't parse comma files and squeezes single-row
     files to 1-D, so it is NOT a drop-in here.)"""
     vals: list = []
     ncols = 0
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.split("#", 1)[0].replace(",", " ")
             nums = []
             for tok in line.split():
                 try:
                     nums.append(float(tok))
                 except ValueError:
-                    continue
+                    raise ValueError(
+                        f"{path}: line {lineno}: unparseable numeric "
+                        f"token {tok!r}") from None
             if not nums:
                 continue
             if ncols == 0:
@@ -106,6 +111,11 @@ def loadtxt(path) -> np.ndarray:
     n = lib.fastload_floats(
         bpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         cap, ctypes.byref(ncols))
+    if n == -2:
+        # corrupt content: re-parse in python for an error that names the
+        # offending line/token (the pure-python path raises on the same
+        # inputs the C sweep flags)
+        return _py_loadtxt(path)
     if n < 0:
         raise IOError(f"fastloader failed on {path}")
     vals = out[:n]

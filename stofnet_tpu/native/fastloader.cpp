@@ -18,9 +18,13 @@
 extern "C" {
 
 // Parse all floating-point numbers in `path`.
-// Returns the count written to `out` (up to `cap`), or -1 on I/O error.
-// If `out` is null, only counts. `n_cols_out` (optional) receives the
-// number of values on the first non-empty line (np.loadtxt column count).
+// Returns the count written to `out` (up to `cap`), -1 on I/O error, or
+// -2 if the file contains non-numeric garbage outside comments (silently
+// skipping it would shift every later value — np.loadtxt fails loudly at
+// a bad token, and so must we; the python wrapper re-parses to name the
+// offending line/token). If `out` is null, only counts. `n_cols_out`
+// (optional) receives the number of values on the first non-empty line
+// (np.loadtxt column count).
 long fastload_floats(const char* path, double* out, long cap,
                      long* n_cols_out) {
     FILE* f = std::fopen(path, "rb");
@@ -60,13 +64,19 @@ long fastload_floats(const char* path, double* out, long cap,
 
     char* p = buf;
     char* end;
+    bool garbage = false;
     while (*p) {
-        // skip non-numeric separators (spaces, commas, newlines)
+        // skip separators (spaces, tabs, commas, newlines); anything else
+        // that is not the start of a number is garbage, not a separator
         while (*p && !((*p >= '0' && *p <= '9') || *p == '-' || *p == '+'
-                       || *p == '.')) ++p;
+                       || *p == '.')) {
+            if (*p != ' ' && *p != '\t' && *p != ',' && *p != '\n'
+                && *p != '\r') garbage = true;
+            ++p;
+        }
         if (!*p) break;
         double v = std::strtod(p, &end);
-        if (end == p) { ++p; continue; }
+        if (end == p) { garbage = true; ++p; continue; }  // lone '-'/'.'/'+'
         if (out) {
             if (n >= cap) break;
             out[n] = v;
@@ -76,6 +86,7 @@ long fastload_floats(const char* path, double* out, long cap,
         p = end;
     }
     std::free(buf);
+    if (garbage) return -2;
     return n;
 }
 

@@ -23,7 +23,14 @@ _INTERP = re.compile(r"\$\{([^}]+)\}")
 
 
 class Config(dict):
-    """dict with attribute access (cfg.model == cfg['model'])."""
+    """dict with attribute access (cfg.model == cfg['model']).
+
+    Assignments after ``load_config`` are recorded into the raw-template
+    overlay too, so a later ``merge_cli`` re-resolve keeps programmatic
+    mutations instead of silently reverting keys that exist in the YAML
+    back to their file values (merge_cli itself bypasses this bookkeeping
+    via ``dict.update`` when it installs the resolved view).
+    """
 
     def __getattr__(self, name: str) -> Any:
         try:
@@ -33,6 +40,17 @@ class Config(dict):
 
     def __setattr__(self, name: str, value: Any) -> None:
         self[name] = value
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        dict.__setitem__(self, name, value)
+        t = self.__dict__.get("_templates")
+        if t is not None:
+            t[name] = value
+
+    def update(self, *args, **kwargs) -> None:  # type: ignore[override]
+        # route through __setitem__ (C-level dict.update would not)
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
 
     def copy(self) -> "Config":
         c = Config(dict.copy(self))

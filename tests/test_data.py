@@ -247,18 +247,22 @@ def test_loader_set_epoch_order_is_resumable():
 
 
 def test_crop_ratio_none_sticks_to_first_draw(rng):
-    """CropChannelData(ratio=None): the first random draw is assigned to
-    self.ratio and reused for every later item (reference
-    utils/transforms.py:62), not redrawn per call."""
+    """CropChannelData(ratio=None): one draw sticks for every item
+    (reference utils/transforms.py:62). Drawn at CONSTRUCTION from the
+    dataset rng so the run-wide width does not depend on which worker
+    thread's item happens to run first (reproducibility under
+    num_workers>0)."""
     from stofnet_tpu.data.transforms import CropChannelData
 
     tf = CropChannelData(ratio=None, rng=np.random.default_rng(0))
-    wf = rng.standard_normal(400).astype(np.float32)
-    tf(wf, 200.0)
     first = tf.ratio
     assert first is not None and 0 <= first < 1
-    tf(wf, 200.0)
+    wf = rng.standard_normal(400).astype(np.float32)
+    tf(wf, 200.0, rng=np.random.default_rng(7))  # per-item rng can't redraw
     assert tf.ratio == first
+    # deterministic: same construction seed -> same sticky width
+    assert CropChannelData(ratio=None,
+                           rng=np.random.default_rng(0)).ratio == first
 
 
 def test_config_interpolation_lazy_and_typed(tmp_path):
@@ -282,6 +286,27 @@ def test_config_interpolation_lazy_and_typed(tmp_path):
     cfg = merge_cli(cfg, ["data_path=other/", "rf_scale_factor=20"])
     assert cfg.data_dir == "/mnt/other/"  # override propagated
     assert cfg.factor == 20
+
+
+def test_config_post_load_mutation_survives_merge_cli(tmp_path):
+    """Programmatic mutations after load_config (attr, item, and update)
+    must not be silently reverted to YAML values by a later merge_cli
+    re-resolve — only keys the CLI actually overrode may change."""
+    from stofnet_tpu.utils.config import load_config, merge_cli
+
+    p = tmp_path / "c.yaml"
+    p.write_text("th: 0.1\nmodel: stofnet\nepochs: 5\nlr: 1.0\n")
+    cfg = load_config(p)
+    cfg.th = 0.5                 # attr assignment
+    cfg["epochs"] = 9            # item assignment
+    cfg.update(lr=2.0)           # dict-style update
+    cfg = merge_cli(cfg, ["model=edsr"])
+    assert cfg.th == 0.5 and cfg.epochs == 9 and cfg.lr == 2.0
+    assert cfg.model == "edsr"   # the CLI override still wins
+    # and the CLI keeps highest precedence over an earlier mutation
+    cfg2 = load_config(p)
+    cfg2.th = 0.5
+    assert merge_cli(cfg2, ["th=0.9"]).th == 0.9
 
 
 def test_pala_temporal_filter_drops_zero_frame(tmp_path):

@@ -102,3 +102,26 @@ def test_loadtxt_comments_and_commas(tmp_path):
     for fn in (loadtxt, _py_loadtxt):
         arr = fn(q)
         assert arr.shape == (1, 3)
+
+
+def test_loadtxt_corrupt_token_fails_loudly(tmp_path):
+    """A non-numeric token must raise a ValueError naming the file and
+    token — silently dropping it would shift every later value (ADVICE r2).
+    Both the C fast path (returns -2 -> python re-parse) and the pure
+    fallback must agree."""
+    import pytest
+
+    from stofnet_tpu import native
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1.0 2.0\n3.0 oops\n")
+    with pytest.raises(ValueError, match="oops"):
+        native.loadtxt(bad)
+    with pytest.raises(ValueError, match="line 2"):
+        native._py_loadtxt(bad)
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("# header\n1.0, 2.0\n-3.5e1, .25\n")
+    got = native.loadtxt(ok)
+    np.testing.assert_allclose(got, [[1.0, 2.0], [-35.0, 0.25]])
+    np.testing.assert_allclose(native._py_loadtxt(ok), got)

@@ -157,7 +157,8 @@ def test_ival_fallback_needs_both_bounds(rng):
 def test_reduce_echoes_zero_slots_first(rng):
     """echo_max pruning re-sorts by raw ToA: zero-padded rows sort FIRST
     exactly like the reference's argsort over zero-padded echo triples
-    (gradpeak.py:112-114)."""
+    (gradpeak.py:112-114) — and the surviving (onset, peak, amplitude)
+    triples match the live reference's toa_detect with the same echo_max."""
     from models.gradpeak import toa_detect as ref_toa
 
     x = make_rf(rng, b=2)
@@ -166,13 +167,21 @@ def test_reduce_echoes_zero_slots_first(rng):
                                  rescale_factor=6, echo_max=3,
                                  max_echoes=16))
     ref = ref_toa(torch.from_numpy(x), threshold=0.002, rescale_factor=6,
-                  echo_max=3)[0].numpy() if False else None
-    # slot layout: any all-zero slots precede the valid ones
+                  echo_max=3).numpy()
     for bi in range(2):
+        # slot layout: any all-zero slots precede the valid ones
         times = ours[bi, :, 1]
         nz = np.nonzero(times)[0]
         if nz.size and nz.size < times.size:
             assert nz[0] == times.size - nz.size  # zeros packed in front
+        # parity: valid triples equal the reference's, in ToA order
+        our_valid = ours[bi][ours[bi][:, 1] > 0]
+        ref_valid = ref[bi][ref[bi][:, 1] > 0]
+        assert our_valid.shape == ref_valid.shape
+        np.testing.assert_allclose(our_valid[:, :2], ref_valid[:, :2])
+        np.testing.assert_allclose(our_valid[:, 2], ref_valid[:, 2],
+                                   rtol=1e-4, atol=1e-5)
+        assert 0 < our_valid.shape[0] <= 3  # echo_max actually pruned
 
 
 @pytest.mark.parametrize("seed", [5, 17, 41])
