@@ -247,6 +247,7 @@ def setup(cfg: Config):
                   else "heatmap")
 
     variables = None
+    random_init = False
     if cfg.model.lower() != "gradpeak":
         if cfg.model_file:
             path = find_checkpoint(cfg.ckpt_dir, cfg.model_file)
@@ -257,6 +258,7 @@ def setup(cfg: Config):
                 variables = load_model_variables(cfg.model, path, n_layers)
                 print(f"loaded checkpoint {path}", file=sys.stderr)
             else:
+                random_init = True
                 # the reference silently skips a non-matching prefix and
                 # runs the fresh init (main.py:174-177); keep the no-crash
                 # semantics but make the benchmark-integrity hazard LOUD
@@ -273,7 +275,8 @@ def setup(cfg: Config):
         variables = {"params": {}}
 
     return {"dataset": ds, "info": info, "model": model,
-            "variables": variables, "model_kind": model_kind, "cfg": cfg}
+            "variables": variables, "model_kind": model_kind, "cfg": cfg,
+            "random_init": random_init}
 
 
 def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
@@ -614,6 +617,12 @@ def run(cfg: Config) -> Dict[str, Any]:
     try:
         if cfg.evaluate:
             result = evaluate(ctx, logger)
+            if ctx.get("random_init"):
+                # benchmark-integrity marker: the requested checkpoint was
+                # not found and the protocol ran on fresh init weights —
+                # downstream tables must say so, not just this stderr line
+                result["random_init"] = True
+                logger.set_summary(random_init=True)
         else:
             result = train(ctx, logger)
     finally:

@@ -100,10 +100,23 @@ def run_sweep(cfg: Config, rows: Sequence[Sequence[Any]]) -> List[Dict[str, Any]
     return results
 
 
+TIMING_NOTE = ("Time [ms] is the nan-mean of forward time / batch_size; "
+               "the FIRST batch is excluded (recorded NaN) because it is "
+               "dominated by jit compilation — the reference, which has no "
+               "compile step, includes its first-batch warmup "
+               "(main.py:313-315,350).")
+RANDOM_INIT_NOTE = ("checkpoint prefix not found — row ran with RANDOM-INIT "
+                    "weights (reference no-crash semantics, main.py:174-177);"
+                    " its metrics do not reflect trained weights.")
+
+
 def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
     """RMSE ±std / Jaccard / Weights / Time schema
-    (utils/load_table_contents.py:84-112)."""
+    (utils/load_table_contents.py:84-112), with integrity footnotes: the
+    first-batch timing exclusion is always noted, and rows whose checkpoint
+    was missing (random-init run) carry a dagger."""
     lines = []
+    any_random = any(r.get("random_init") for r in results)
     if latex:
         lines += [
             "\\begin{tabular}{l|cccc}",
@@ -119,6 +132,8 @@ def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
     for r in results:
         label = (CITATIONS.get(r["model"], r["model"]) if latex
                  else r["model"] + (f" ({r['ckpt']})" if r.get("ckpt") else ""))
+        if r.get("random_init"):
+            label += "$^\\dagger$" if latex else " †"
         if "error" in r:
             cells = [label, "error", "-", "-", "-"]
         else:
@@ -135,6 +150,15 @@ def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
                      else "| " + " | ".join(cells) + " |")
     if latex:
         lines.append("\\end{tabular}")
+        lines.append("\\par\\footnotesize " + TIMING_NOTE)
+        if any_random:
+            lines.append("\\par\\footnotesize $\\dagger$ "
+                         + RANDOM_INIT_NOTE)
+    else:
+        lines.append("")
+        lines.append("Note: " + TIMING_NOTE)
+        if any_random:
+            lines.append("† " + RANDOM_INIT_NOTE)
     return "\n".join(lines)
 
 

@@ -225,3 +225,85 @@ def test_bench_respawn_bounded(monkeypatch):
     monkeypatch.setattr(bench, "PROCESS_BACKOFF_S", 0.0)
     bench.respawn_on_failure(boom)
     assert len(execs) == 1 and execs[0][0] == bench.sys.executable
+
+
+def test_report_tool_wandb_pull(tmp_path, monkeypatch):
+    """The cloud branch (reference utils/load_table_contents.py:8-41
+    parity): last-N finished runs of a group pulled through the W&B API,
+    newest first, and rendered into the table — exercised against a mock
+    API so the offline harness can test it."""
+    import sys
+    import types
+
+    from stofnet_tpu.cli import report
+
+    class FakeRun:
+        def __init__(self, name, group, created_at, summary):
+            self.name, self.group = name, group
+            self.created_at, self.summary = created_at, summary
+
+    runs = [
+        FakeRun("old-run", "chirp_array", "2026-01-01", {
+            "model_name": "espcn", "total_distance_mean": 9.0,
+            "total_distance_std": 1.0, "total_jaccard": 10.0,
+            "total_parameters": 6948, "total_inference_time": 0.002}),
+        FakeRun("new-run", "chirp_array", "2026-02-01", {
+            "model_name": "stofnet", "total_distance_mean": 1.5,
+            "total_distance_std": 0.5, "total_jaccard": 88.0,
+            "total_parameters": 645764, "total_inference_time": 0.001}),
+        FakeRun("other-group", "pala_array", "2026-03-01", {
+            "model_name": "edsr"}),
+    ]
+
+    fake = types.ModuleType("wandb")
+
+    class Api:
+        def runs(self, project):
+            assert project == "stofnet_tpu"
+            return list(runs)
+
+    fake.Api = Api
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    got = report.wandb_results("chirp_array", num_recent=7)
+    assert [r["model"] for r in got] == ["stofnet", "espcn"]  # newest first
+    assert report.wandb_results("chirp_array", num_recent=1)[0][
+        "run_name"] == "new-run"
+
+    # end-to-end: main() with wandb_group renders the CLOUD summaries
+    report.main([f"run_dir={tmp_path}", "wandb_group=chirp_array"])
+    md = (tmp_path / "metrics_table.md").read_text()
+    assert "stofnet" in md and "espcn" in md and "88.0" in md
+    assert "edsr" not in md  # other group filtered out
+
+    # API failure falls back to None -> local summaries
+    def boom(self, project):
+        raise ConnectionError("offline")
+
+    monkeypatch.setattr(Api, "runs", boom)
+    assert report.wandb_results("chirp_array", 7) is None
+
+
+def test_sweep_table_footnotes():
+    """Generated tables carry the first-batch timing note always, and a
+    dagger + note on random-init rows (VERDICT r2: the zonzini PALA row ran
+    random-init with no marker in the table)."""
+    from stofnet_tpu.cli.sweep import format_table
+
+    rows = [
+        {"model": "stofnet", "ckpt": "x", "total_distance_mean": 1.0,
+         "total_distance_std": 0.1, "total_jaccard": 90.0,
+         "total_parameters": 1000, "total_inference_time": 0.001},
+        {"model": "zonzini", "ckpt": "polar-sun", "random_init": True,
+         "total_distance_mean": 50.0, "total_distance_std": 5.0,
+         "total_jaccard": 0.0, "total_parameters": 2000,
+         "total_inference_time": 0.001},
+    ]
+    md = format_table(rows)
+    assert "first" in md.lower() and "jit compilation" in md
+    assert "zonzini (polar-sun) †" in md and "RANDOM-INIT" in md
+    tex = format_table(rows, latex=True)
+    assert "$^\\dagger$" in tex and "\\footnotesize" in tex
+
+    md_clean = format_table(rows[:1])
+    assert "†" not in md_clean  # no dagger section without random-init rows
