@@ -1,0 +1,102 @@
+"""Regenerate the PALA + rat sweep tables with a quality-bearing row.
+
+VERDICT r2 #3: the r2 PALA/rat tables were ~all NaN because reference
+checkpoints (trained on the real, upstream-lost acquisition) met the
+synthetic stand-in data. This script makes the tables quality-bearing the
+only honest way available: it TRAINS StofNet from scratch on the synthetic
+PALA training sequences (the recipe train-parity validated against torch —
+scripts/train_parity_pala.py / TRAINPARITY_pala.md), then runs the full
+reference sweep protocols (array_pala_params.txt rows + rat_benchmark.sh
+th=1/ch_gap=1/etol=2) on a held-out sequence, with the trained-here
+checkpoint as an extra row. Ckpt-less / mismatched rows now carry the
+random-init dagger automatically (cli/sweep.py footnotes).
+
+One TPU process end to end (train + both sweeps) — each python start pays
+the axon claim, so everything rides one claim. Outputs:
+  runs_pala_sweep/metrics_table.{md,tex}, runs_rat_sweep/metrics_table.*
+  (stdout echoes both tables; docs/SWEEP_*_tpu.md are updated from these)
+
+Usage: python scripts/run_pala_sweeps.py [epochs]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SEED = 3008
+TRAIN_SEQS = [0, 1]
+EVAL_SEQS = [2]
+DATA = Path("/tmp/pala_synth_r3")
+CKPTS = REPO / "ckpts"
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
+    from stofnet_tpu.cli.sweep import SWEEPS, format_table, run_sweep
+    from stofnet_tpu.data.pala import generate_pala_dataset
+    from stofnet_tpu.utils.config import load_config
+
+    if not (DATA / "pala_config.yaml").exists():
+        generate_pala_dataset(DATA, n_sequences=3, n_frames=30, n_angles=2,
+                              n_channels=16, n_samples=400, n_targets=3,
+                              seed=SEED)
+    log(f"dataset at {DATA}")
+
+    # 1) train StofNet from scratch on the synthetic train sequences
+    #    (protocol shape: rf_scale=20 -> L=8000, ch_gap default 32)
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(data_dir=str(DATA), evaluate=False, model="stofnet",
+               sequences=TRAIN_SEQS, epochs=EPOCHS, batch_size=4,
+               rf_scale_factor=20, max_echoes=8, snr_db=30, seed=SEED,
+               plot_interval=0, run_dir=str(REPO / "runs_pala_train"),
+               ckpt_dir=str(CKPTS))
+    out = run(cfg)
+    ckpt = Path(out["checkpoint"])
+    log(f"trained-here checkpoint: {ckpt}")
+
+    # 2) PALA sweep: reference rows + the trained-here row
+    for sweep_name, extra_overrides, extra_row_th in (
+            ("pala", {}, None),
+            ("rat", {}, 1.0)):
+        rows = list(SWEEPS[sweep_name]) + [
+            ["stofnet", ckpt.name, extra_row_th]]
+        scfg = load_config(DEFAULT_CONFIG)
+        scfg.update(data_dir=str(DATA), sequences=EVAL_SEQS,
+                    ckpt_dir=str(CKPTS), max_echoes=8, seed=SEED,
+                    run_dir=str(REPO / f"runs_{sweep_name}_sweep"),
+                    save_artifacts=False, th_search_interval=10,
+                    **extra_overrides)
+        from stofnet_tpu.cli.sweep import SWEEP_OVERRIDES
+
+        for k, v in SWEEP_OVERRIDES[sweep_name].items():
+            scfg[k] = v
+        results = run_sweep(scfg, rows)
+        for r in results:  # attach parameter counts from run summaries
+            if "total_parameters" not in r and r.get("run_name"):
+                import json
+
+                summary = (Path(scfg.run_dir)
+                           / f"{r['run_name']}_summary.json")
+                if summary.exists():
+                    r.update(json.loads(summary.read_text()))
+        md = format_table(results)
+        tex = format_table(results, latex=True)
+        out_dir = Path(scfg.run_dir)
+        (out_dir / "metrics_table.md").write_text(md + "\n")
+        (out_dir / "metrics_table.tex").write_text(tex + "\n")
+        print(f"===== {sweep_name} =====")
+        print(md)
+        print()
+
+
+if __name__ == "__main__":
+    main()
