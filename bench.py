@@ -188,7 +188,12 @@ def try_packed_pipeline(variables, overrides, x, coords_ref):
 
 def try_fused_pipeline(variables, overrides, x, coords_ref):
     """Compile + parity-gate the Pallas path, retrying through Mosaic
-    helper outages. Returns the jitted fn or None."""
+    helper outages. Returns the jitted fn or None.
+
+    r3 composition: the manual-DMA packed-pair SGB kernel (measured 1.5 ms
+    vs XLA's 3.1 ms for contract+pool at B=128 — sgb_dma_kernel.py) + the
+    plain XLA conv stack (which the r2 measurements showed XLA already
+    lowers near-optimally; the fused conv-stack kernel loses 3x there)."""
     import jax
     import jax.numpy as jnp
 
@@ -198,7 +203,8 @@ def try_fused_pipeline(variables, overrides, x, coords_ref):
     @jax.jit
     def pipe_fused(v, xb):
         heat = stofnet_apply_fused(v, xb, dtype=jnp.bfloat16,
-                                   fused_stack=True, **overrides)
+                                   fused_stack=False, sgb_impl="dma",
+                                   **overrides)
         return mask2coords(heat, window_size=20, threshold=None,
                            upsample_factor=4, max_echoes=8)
 
@@ -348,9 +354,91 @@ def oom_demo():
         results["pallas_b2048"] = failure_summary(e)
     log(f"pallas B={big}: {results['pallas_b2048']}")
 
+    results.update(oom_train_demo(variables, overrides, failure_summary))
+
     print(json.dumps({"metric": "stofnet_b2048_memory_demo", "value": 1.0,
                       "unit": "see extra keys", "vs_baseline": 1.0,
                       **results}))
+
+
+def oom_train_demo(variables, overrides, failure_summary):
+    """TRAINING memory experiment (VERDICT r2 #6): the fused-SGB custom VJP
+    (sgb_contract_pool_trainable) never materializes the (B, L, 512)
+    pre-pool tensor in either pass, while XLA training must keep it as a
+    backward residual. Walk batch sizes down from 2048; at each B try the
+    XLA train step and the fused-VJP train step; stop at the first B the
+    fused path trains at, recording both outcomes (+ fused ms/step)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.models.fused import stofnet_apply_fused
+    from stofnet_tpu.ops.gaussian import gaussian_kernel
+    from stofnet_tpu.train.loss import heatmap_loss
+    from stofnet_tpu.train.steps import (LossConfig, init_train_state,
+                                         make_optimizer, make_train_step)
+
+    cfg = LossConfig(upsample_factor=overrides.get("upsample_factor", 4),
+                     max_echoes=8)
+    kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
+    optimizer, _ = make_optimizer(steps_per_epoch=100)
+    model = StofNet(dtype=jnp.bfloat16, **overrides)
+    xla_step = make_train_step(model, optimizer, cfg)
+
+    def loss_fn(params, frame, gt_true):
+        pred = stofnet_apply_fused({"params": params}, frame,
+                                   dtype=jnp.bfloat16, trainable=True,
+                                   **overrides)
+        loss, _ = heatmap_loss(pred, gt_true, kernel=kernel,
+                               mask_amplitude=cfg.mask_amplitude,
+                               lambda_value=cfg.lambda_value)
+        return loss
+
+    @jax.jit
+    def fused_step(params, opt_state, frame, gt_true):
+        loss, grads = jax.value_and_grad(loss_fn)(params, frame, gt_true)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    results = {}
+    for bt in (2048, 1536, 1024, 768, 512):
+        key = jax.random.key(bt)
+        xb = jax.random.normal(key, (bt, 1, LENGTH), jnp.float32)
+        xb = xb / jnp.max(jnp.abs(xb), axis=-1, keepdims=True)
+        gt_true = jnp.broadcast_to(
+            jnp.asarray([[8000, 22000]], jnp.int32)[None], (bt, 1, 2))
+
+        try:
+            state = init_train_state(variables, optimizer)
+            _, aux = xla_step(state, xb, jnp.zeros((bt, 2)), gt_true)
+            loss = float(aux["loss"])
+            results[f"xla_train_b{bt}"] = f"ok (loss {loss:.4f})"
+        except Exception as e:
+            results[f"xla_train_b{bt}"] = failure_summary(e)
+        log(f"xla train B={bt}: {results[f'xla_train_b{bt}']}")
+
+        try:
+            params = variables["params"]
+            opt_state = optimizer.init(params)
+            params, opt_state, loss = fused_step(params, opt_state, xb,
+                                                 gt_true)
+            loss = float(loss)
+            assert np.isfinite(loss), f"non-finite fused train loss {loss}"
+            t0 = time.perf_counter()
+            for _ in range(3):
+                params, opt_state, loss = fused_step(params, opt_state, xb,
+                                                     gt_true)
+            loss = float(loss)  # fetch-sync through the relay
+            ms = (time.perf_counter() - t0) / 3 * 1e3
+            results[f"pallas_train_b{bt}"] = f"ok (loss {loss:.4f})"
+            results[f"pallas_train_b{bt}_ms_per_step"] = round(ms, 1)
+            log(f"fused train B={bt}: ok, {ms:.1f} ms/step")
+            break  # largest fused-trainable batch found
+        except Exception as e:
+            results[f"pallas_train_b{bt}"] = failure_summary(e)
+            log(f"fused train B={bt}: {results[f'pallas_train_b{bt}']}")
+    return results
 
 
 def length_scaling() -> None:

@@ -29,7 +29,14 @@ from jax import lax
 
 from stofnet_tpu.ops.shuffle import sample_shuffle
 from stofnet_tpu.ops.packed_conv import conv1d_blocked, conv1d_same_packed
-from stofnet_tpu.ops.pallas.sgb_kernel import sgb_contract_pool
+from stofnet_tpu.ops.pallas.sgb_kernel import (
+    sgb_contract_pool,
+    sgb_contract_pool_trainable,
+)
+from stofnet_tpu.ops.pallas.sgb_dma_kernel import (
+    dma_supported,
+    sgb_contract_pool_dma,
+)
 
 
 def _conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -46,7 +53,8 @@ def _conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("upsample_factor", "num_blocks",
                                    "semi_global_scale", "dtype",
-                                   "interpret", "fused_stack"))
+                                   "interpret", "fused_stack", "trainable",
+                                   "sgb_impl"))
 def stofnet_apply_fused(
     variables: Any,
     x: jnp.ndarray,
@@ -56,8 +64,23 @@ def stofnet_apply_fused(
     dtype: Optional[Any] = jnp.bfloat16,
     interpret: bool = False,
     fused_stack: bool = True,
+    trainable: bool = False,
+    sgb_impl: str = "tile",
 ) -> jnp.ndarray:
-    """StofNet forward, (B, 1, L) -> (B, 1, L*r), with fused SGB contract."""
+    """StofNet forward, (B, 1, L) -> (B, 1, L*r), with fused SGB contract.
+
+    ``sgb_impl`` selects the fused SGB kernel: ``"tile"`` is the
+    auto-pipelined BlockSpec kernel (sgb_kernel.py, the memory-cliff /
+    trainable path), ``"dma"`` the manual-DMA packed-pair kernel
+    (sgb_dma_kernel.py, the fast inference path — r3 measurements in its
+    docstring; falls back to tile when the shape is unsupported).
+
+    ``trainable=True`` routes the SGB through the custom-VJP variant
+    (``sgb_contract_pool_trainable``) and forces the differentiable XLA
+    conv stack, so ``jax.grad`` works end-to-end while the (B, L, 512)
+    pre-pool tensor still never materializes in either pass — the
+    large-batch training path (bench.py --oom-demo train keys).
+    """
     p = variables["params"]
     h = jnp.transpose(x, (0, 2, 1))
     if dtype is not None:
@@ -66,11 +89,19 @@ def stofnet_apply_fused(
     h = jax.nn.relu(_conv1d_same(h, jnp.asarray(p["conv1"]["kernel"]),
                                  jnp.asarray(p["conv1"]["bias"]), dtype))
 
+    if trainable:
+        fused_stack = False  # conv_stack_fused carries no VJP
+
     if semi_global_scale != 1:
         sgb = p["semi_global_block"]
-        pooled = sgb_contract_pool(
-            h, jnp.asarray(sgb["contract_conv"]["kernel"]),
-            jnp.asarray(sgb["contract_conv"]["bias"]), interpret=interpret)
+        ck = jnp.asarray(sgb["contract_conv"]["kernel"])
+        cb = jnp.asarray(sgb["contract_conv"]["bias"])
+        if trainable:  # custom_vjp: nondiff args must be positional
+            pooled = sgb_contract_pool_trainable(h, ck, cb, 0.01, interpret)
+        elif sgb_impl == "dma" and dma_supported(h.shape[1], h.shape[2]):
+            pooled = sgb_contract_pool_dma(h, ck, cb, interpret=interpret)
+        else:
+            pooled = sgb_contract_pool(h, ck, cb, interpret=interpret)
         s = _conv1d_same(pooled, jnp.asarray(sgb["expand_conv"]["kernel"]),
                          jnp.asarray(sgb["expand_conv"]["bias"]), dtype)
         s = jax.nn.leaky_relu(s, 0.01)

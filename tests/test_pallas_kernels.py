@@ -158,3 +158,58 @@ def test_sgb_trainable_grads_match_xla(rng):
     for g_got, g_ref, name in zip(got_grads, ref_grads, "h w bias".split()):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("L", [800, 2400])
+def test_sgb_dma_kernel_matches_xla(rng, L):
+    """Manual-DMA packed-pair kernel (r3) == the XLA contract+pool
+    expression: the (3, 128, 2F) weight packing and chunked pooling must
+    reproduce conv k5 SAME + leaky + maxpool80 exactly."""
+    import flax.linen as nn
+    from jax import lax
+
+    from stofnet_tpu.ops.pallas.sgb_dma_kernel import (
+        dma_supported, sgb_contract_pool_dma,
+    )
+
+    assert dma_supported(L, 64) and not dma_supported(640, 64)
+    h = jnp.asarray(rng.standard_normal((2, L, 64)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((5, 64, 512)) * 0.05).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(512) * 0.1).astype(np.float32))
+
+    out = np.asarray(sgb_contract_pool_dma(h, w, b, interpret=True))
+
+    y = lax.conv_general_dilated(h, w, (1,), [(2, 2)],
+                                 dimension_numbers=("NHC", "HIO", "NHC"))
+    y = jax.nn.leaky_relu(y + b, 0.01)
+    ref_out = np.asarray(nn.max_pool(y, (80,), strides=(80,),
+                                     padding="VALID"))
+    assert out.shape == ref_out.shape == (2, L // 80, 512)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_stofnet_fused_trainable_grads_match_module(rng):
+    """trainable=True routes the SGB through the custom VJP; end-to-end
+    jax.grad of a scalar loss must match the flax module's gradients."""
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+
+    def loss_ref(params):
+        return jnp.mean(model.apply({"params": params}, x) ** 2)
+
+    def loss_fused(params):
+        pred = stofnet_apply_fused({"params": params}, x, dtype=None,
+                                   interpret=True, trainable=True)
+        return jnp.mean(pred ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_ref)(variables["params"])
+    l2, g2 = jax.value_and_grad(loss_fused)(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree.leaves(g1)
+    flat2 = jax.tree.leaves(g2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
