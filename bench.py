@@ -385,6 +385,7 @@ def oom_train_demo(variables, overrides, failure_summary):
     optimizer, _ = make_optimizer(steps_per_epoch=100)
     model = StofNet(dtype=jnp.bfloat16, **overrides)
     xla_step = make_train_step(model, optimizer, cfg)
+    xla_step_remat = make_train_step(model, optimizer, cfg, remat=True)
 
     def loss_fn(params, frame, gt_true):
         pred = stofnet_apply_fused({"params": params}, frame,
@@ -434,6 +435,22 @@ def oom_train_demo(variables, overrides, failure_summary):
             results[f"pallas_train_b{bt}"] = f"ok (loss {loss:.4f})"
             results[f"pallas_train_b{bt}_ms_per_step"] = round(ms, 1)
             log(f"fused train B={bt}: ok, {ms:.1f} ms/step")
+            # honesty key: does XLA fit at this batch WITH remat? (a user
+            # would prefer that if it does and is faster)
+            try:
+                state = init_train_state(variables, optimizer)
+                t0 = time.perf_counter()
+                state, aux = xla_step_remat(state, xb, jnp.zeros((bt, 2)),
+                                            gt_true)
+                loss = float(aux["loss"])
+                ms = (time.perf_counter() - t0) * 1e3
+                results[f"xla_remat_train_b{bt}"] = (
+                    f"ok (loss {loss:.4f}, first-step {ms:.0f} ms "
+                    f"incl. compile)")
+            except Exception as e:
+                results[f"xla_remat_train_b{bt}"] = failure_summary(e)
+            log(f"xla remat train B={bt}: "
+                f"{results[f'xla_remat_train_b{bt}']}")
             break  # largest fused-trainable batch found
         except Exception as e:
             results[f"pallas_train_b{bt}"] = failure_summary(e)

@@ -1,0 +1,185 @@
+"""Training-step ablation at the bench operating point (B=128, L=8000).
+
+Where do the ~46 ms/step (r2 `bench.py --train`) go? Variants:
+
+  fwd_loss      forward + loss only (no grad, no update)
+  train_full    full step, current model (reshape+max pool gradient)
+  train_window  full step, SemiGlobalBlock built with nn.max_pool
+                (reduce_window), whose gradient is XLA select-and-scatter
+  train_nosgb   full step, semi_global_scale=1 ablation
+  train_remat   full step with jax.checkpoint on the forward
+
+All bodies consume per-iteration staged batches (CLAUDE.md TIMING TRAP).
+Run on the real chip: ``python scripts/profile_train.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+B, L = 128, 8000
+K = 10
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.models.stofnet import SemiGlobalBlock
+    from stofnet_tpu.train.steps import (LossConfig, init_train_state,
+                                         make_optimizer, make_train_step)
+
+    log(f"device: {jax.devices()[0]}")
+
+    class SemiGlobalBlockWindow(SemiGlobalBlock):
+        """The pre-r3 pool lowering (reduce_window) for comparison."""
+
+        @nn.compact
+        def __call__(self, x):
+            import jax as _jax
+
+            from stofnet_tpu.models.init import torch_default
+
+            feat = max(1, self.sample_scale // 10) * self.features
+            s = nn.Conv(feat, (self.kernel_size,), padding="SAME",
+                        dtype=self.dtype, name="contract_conv",
+                        **torch_default(self.kernel_size, x.shape[-1]))(x)
+            s = _jax.nn.leaky_relu(s, 0.01)
+            s = nn.max_pool(s, (self.sample_scale,),
+                            strides=(self.sample_scale,), padding="VALID")
+            s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
+                        dtype=self.dtype, name="expand_conv",
+                        **torch_default(self.kernel_size, feat))(s)
+            s = _jax.nn.leaky_relu(s, 0.01)
+            s = jnp.repeat(s, self.sample_scale, axis=1)
+            pad = max(0, x.shape[1] - s.shape[1])
+            s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+            return x + s
+
+    # the window variant: StofNet looks up `SemiGlobalBlock` in its module
+    # globals at TRACE time, so the swap must stay active through the
+    # variant's jit trace (same param names -> shared variables tree)
+    import contextlib
+
+    import stofnet_tpu.models.stofnet as stofnet_mod
+
+    @contextlib.contextmanager
+    def window_pool_sgb():
+        orig = stofnet_mod.SemiGlobalBlock
+        stofnet_mod.SemiGlobalBlock = SemiGlobalBlockWindow
+        try:
+            yield
+        finally:
+            stofnet_mod.SemiGlobalBlock = orig
+
+    model = StofNet(dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+    model_nosgb = StofNet(dtype=jnp.bfloat16, semi_global_scale=1)
+    v_nosgb = model_nosgb.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+    model_window = StofNet(dtype=jnp.bfloat16)
+
+    cfg = LossConfig(upsample_factor=4, max_echoes=8)
+    optimizer, _ = make_optimizer(steps_per_epoch=100)
+
+    def staged(key, k=K):
+        xs = jax.random.normal(key, (k, B, 1, L), jnp.float32)
+        xs = xs / jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+        gt = jnp.stack([jnp.full((B,), 2000.25), jnp.full((B,), 5500.5)], -1)
+        gt = jnp.broadcast_to(gt, (k, B, 2))
+        gt_true = jnp.round(gt[:, :, None, :] * 4).astype(jnp.int32)
+        return xs, gt, gt_true
+
+    xs, gt, gt_true = jax.jit(staged, static_argnums=1)(jax.random.key(0))
+
+    def timed_steps(step_fn, state, reps=3):
+        @jax.jit
+        def run(state, xs, gt, gt_true):
+            def body(st, inp):
+                xb, g, gtr = inp
+                st, aux = step_fn(st, xb, g, gtr)
+                return st, aux["loss"]
+
+            return jax.lax.scan(body, state, (xs, gt, gt_true))
+
+        _, ls = run(state, xs, gt, gt_true)
+        np.asarray(ls)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, ls = run(state, xs, gt, gt_true)
+            np.asarray(ls)
+            best = min(best, time.perf_counter() - t0)
+        return best / K * 1e3
+
+    results = {}
+
+    # forward + loss only
+    from stofnet_tpu.ops.gaussian import gaussian_kernel
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    gk = gaussian_kernel(cfg.kernel_size, cfg.sigma)
+
+    def fwd_loss_step(state, xb, g, gtr):
+        pred = model.apply(variables, xb)
+        loss, _ = heatmap_loss(pred, gtr, kernel=gk,
+                               mask_amplitude=cfg.mask_amplitude,
+                               lambda_value=cfg.lambda_value)
+        return state, {"loss": loss}
+
+    def fwd_loss_window_step(state, xb, g, gtr):
+        pred = model_window.apply(variables, xb)
+        loss, _ = heatmap_loss(pred, gtr, kernel=gk,
+                               mask_amplitude=cfg.mask_amplitude,
+                               lambda_value=cfg.lambda_value)
+        return state, {"loss": loss}
+
+    for nm, fn, needs_window in [("fwd_loss", fwd_loss_step, False),
+                                 ("fwd_loss_window", fwd_loss_window_step,
+                                  True)]:
+        try:
+            ctx = (window_pool_sgb() if needs_window
+                   else contextlib.nullcontext())
+            with ctx:
+                results[nm] = round(timed_steps(fn, 0), 2)
+            log(f"{nm:15s}: {results[nm]} ms/step")
+        except Exception as e:  # noqa: BLE001
+            results[nm] = f"{type(e).__name__}: {str(e)[:80]}"
+            log(f"{nm} FAILED {results[nm]}")
+
+    for name, mdl, vs, remat in [
+        ("train_full", model, variables, False),
+        ("train_window", model_window, variables, False),
+        ("train_nosgb", model_nosgb, v_nosgb, False),
+        ("train_remat", model, variables, True),
+    ]:
+        try:
+            ctx = (window_pool_sgb() if name == "train_window"
+                   else contextlib.nullcontext())
+            with ctx:
+                step = make_train_step(mdl, optimizer, cfg, remat=remat)
+                state = init_train_state(vs, optimizer)
+                ms = timed_steps(step, state)
+            results[name] = round(ms, 2)
+            log(f"{name:12s}: {ms:.2f} ms/step "
+                f"-> {B / ms * 1e3:.0f} wf/s")
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"{type(e).__name__}: {str(e)[:80]}"
+            log(f"{name}: FAILED {results[name]}")
+
+    print(json.dumps({"metric": "profile_train_b128", **results}))
+
+
+if __name__ == "__main__":
+    main()

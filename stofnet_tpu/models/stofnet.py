@@ -44,8 +44,14 @@ class SemiGlobalBlock(nn.Module):
                     name="contract_conv",
                     **torch_default(self.kernel_size, x.shape[-1]))(x)
         s = jax.nn.leaky_relu(s, 0.01)
-        s = nn.max_pool(s, (self.sample_scale,), strides=(self.sample_scale,),
-                        padding="VALID")
+        # MaxPool1d(k=s=80) VALID == crop-to-multiple + reshape + max over
+        # the window axis (windows never overlap; floor division == the
+        # crop). The reshape form avoids reduce_window, whose GRADIENT
+        # lowers to XLA select-and-scatter; reduce-max's eq-mask gradient
+        # is far cheaper on TPU (measured in scripts/profile_train.py).
+        rows = s.shape[1] // self.sample_scale
+        s = s[:, : rows * self.sample_scale]
+        s = s.reshape(s.shape[0], rows, self.sample_scale, feat).max(axis=2)
         s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="expand_conv",
                     **torch_default(self.kernel_size, feat))(s)

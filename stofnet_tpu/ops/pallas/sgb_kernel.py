@@ -29,25 +29,27 @@ Mosaic notes for this backend (hard-won): no overlapping BlockSpecs, no
 lane-concat of sublane-shifted views, dynamic sublane starts must be
 provably 8-aligned, DMA slices of 64-lane arrays trip 128-lane tiling.
 
-Measured (v5e via axon relay, 2026-08, B=128 L=8000, device-side stream):
-this kernel 12.3 ms/batch vs XLA conv+pool 7.1 ms. Root cause isolated
-with reduce-only probe kernels: Pallas-side input consumption on this
-backend runs at ~50-60 GB/s effective (vs ~800 GB/s for XLA ops on the
-same data) — a kernel that merely READS the (B, L, 128) input costs
-4.3-5.7 ms, regardless of block size (0.5-4 MB), grid shape, or
-dimension_semantics, so no kernel of this shape can beat XLA here
-irrespective of its design. On a directly-attached TPU with a standard
-toolchain the fusion arithmetic favors this kernel (it deletes ~2.1 GB of
-HBM round-trip per batch); re-measure before dismissing it elsewhere. Its proven value
-is the memory cliff: at B=2048 the XLA path is a hard compile-time OOM
+Measured (v5e via axon relay; r3 per-iteration streams — see CLAUDE.md
+TIMING TRAP for why earlier figures were optimistic): this kernel loses
+to XLA's conv+pool at B=128 (11.5 vs 8.1 ms standalone) because
+kernel-side input consumption on this backend runs at only ~12-34 GB/s
+effective however the data arrives — the manual-DMA rebuild
+(sgb_dma_kernel.py) hits the same cap, closing the question: no kernel of
+this shape can beat XLA here irrespective of its design. On a
+directly-attached TPU with a standard toolchain the fusion arithmetic
+favors these kernels (they delete ~2.1 GB of HBM round-trip per batch);
+re-measure before dismissing them elsewhere. The proven value is the
+memory cliff: at B=2048 the XLA path is a hard compile-time OOM
 ("Used 17.58G of 15.75G hbm") while this kernel runs and decodes — see
-bench.py --oom-demo — and TRAINS: ``sgb_contract_pool_trainable`` carries
-a custom VJP whose backward routes cotangents through per-window argmax
-offsets, so the dense (B, L, F) conv output is never materialized in
-either pass (full h/kernel/bias gradients verified on hardware at B=2048,
-and exact vs jax.grad of the XLA expression in tests). bench.py measures
-both paths and serves the faster. Exactness is tested in
-tests/test_pallas_kernels.py.
+bench.py --oom-demo — and large-batch TRAINING:
+``sgb_contract_pool_trainable`` carries a custom VJP whose backward
+routes cotangents through per-window argmax offsets, so the dense
+(B, L, F) conv output is never materialized in either pass. The full
+train step with it runs at B=512 where plain-XLA training compile-OOMs
+(16.12 G > 15.75 G hbm; OOMDEMO.json r3 train keys); the op's own
+gradients were hardware-run at B=2048 and are exact vs jax.grad of the
+XLA expression in tests. bench.py measures both paths and serves the
+faster. Exactness is tested in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -235,6 +237,8 @@ def _trainable_fwd(h, kernel, bias, negative_slope, interpret):
 
 
 def _trainable_bwd(negative_slope, interpret, res, g):
+    from jax import lax
+
     h, kernel, bias, pooled, off = res
     b, length, c = h.shape
     kk, _, f = kernel.shape
@@ -251,36 +255,50 @@ def _trainable_bwd(negative_slope, interpret, res, g):
     # accumulate in f32 (an f32 copy would add 2x(B, L, C)x4 bytes and
     # re-create the OOM this path exists to avoid)
     hz = jnp.pad(h, ((0, 0), (PAD, PAD), (0, 0)))  # (B, L+4, C)
-    batch_ix = jnp.arange(b)[:, None]
     wf = kernel.astype(jnp.float32)
 
-    def per_channel(dh_acc, fi):
-        gf = g_pre[:, :, fi]  # (B, R)
-        posf = abs_pos[:, :, fi]  # (B, R)
-        # dense cotangent plane for this channel (windows are disjoint, so
-        # positions within a row are unique -> plain scatter)
-        dyc = jnp.zeros((b, length), jnp.float32).at[batch_ix, posf].add(gf)
-        # d(kernel)[t, :, fi] = sum_{b,p} dyc[b,p] * h[b, p+t-2, :]
-        dw_f = jnp.stack([
-            jnp.einsum("bp,bpi->i", dyc.astype(h.dtype),
-                       hz[:, t: t + length, :],
+    # scan output channels in chunks of FC (not one at a time: 512
+    # sequential single-channel iterations measured ~6 s/step at B=512;
+    # chunking gives the einsums real MXU shapes and cuts the trip count
+    # 8x). Peak extra memory per step is the (B, L, FC) f32 cotangent
+    # plane + (B, L, K, FC) tap stack — still independent of F.
+    FC = 8 if f % 8 == 0 else 1
+    n_chunks = f // FC
+    batch_ix = jnp.arange(b)[:, None, None]
+    chan_ix = jnp.arange(FC)[None, None, :]
+
+    def per_chunk(dh_acc, ci):
+        sl = ci * FC
+        gf = lax.dynamic_slice_in_dim(g_pre, sl, FC, axis=2)  # (B, R, FC)
+        posf = lax.dynamic_slice_in_dim(abs_pos, sl, FC, axis=2)
+        # dense cotangent planes for this chunk (windows are disjoint, so
+        # positions within a row are unique per channel -> plain scatter)
+        dyc = jnp.zeros((b, length, FC), jnp.float32).at[
+            batch_ix, posf, chan_ix].add(gf)
+        # d(kernel)[t, :, sl:sl+FC] = sum_{b,p} dyc[b,p,fc] * h[b, p+t-2, :]
+        dych = dyc.astype(h.dtype)
+        dw_c = jnp.stack([
+            jnp.einsum("bpf,bpi->if", dych, hz[:, t: t + length, :],
                        preferred_element_type=jnp.float32)
             for t in range(K)
-        ])  # (K, C)
-        # d(h)[b, q, :] += sum_t dyc[b, q - t + 2] * kernel[t, :, fi]
+        ])  # (K, C, FC)
+        # d(h)[b, q, :] += sum_{t, fc} dyc[b, q - t + 2, fc] * kernel[t, :, fc]
         # (y[p] reads h[p + t - 2], so h[q] feeds y at p = q - t + 2)
-        dyc_pad = jnp.pad(dyc, ((0, 0), (PAD, PAD)))
+        dyc_pad = jnp.pad(dyc, ((0, 0), (PAD, PAD), (0, 0)))
         dyc_taps = jnp.stack([
-            dyc_pad[:, 2 * PAD - t: 2 * PAD - t + length]
+            dyc_pad[:, 2 * PAD - t: 2 * PAD - t + length, :]
             for t in range(K)
-        ], axis=-1)  # (B, L, K)
-        dh_f = dyc_taps @ wf[:, :, fi]  # (B, L, C)
-        return dh_acc + dh_f, dw_f
+        ], axis=2)  # (B, L, K, FC)
+        w_c = lax.dynamic_slice_in_dim(wf, sl, FC, axis=2)  # (K, C, FC)
+        dh_c = jnp.einsum("blkf,kif->bli", dyc_taps, w_c,
+                          preferred_element_type=jnp.float32)
+        return dh_acc + dh_c, dw_c
 
-    dh, dws = jax.lax.scan(per_channel, jnp.zeros((b, length, c),
-                                                  jnp.float32),
-                           jnp.arange(f))
-    dkernel = jnp.transpose(dws, (1, 2, 0))  # (F, K, C) -> (K, C, F)
+    dh, dws = jax.lax.scan(per_chunk, jnp.zeros((b, length, c),
+                                                jnp.float32),
+                           jnp.arange(n_chunks))
+    # (n_chunks, K, C, FC) -> (K, C, n_chunks*FC) in channel order
+    dkernel = jnp.transpose(dws, (1, 2, 0, 3)).reshape(kk, c, f)
     return (dh.astype(h.dtype), dkernel.astype(kernel.dtype), dbias)
 
 
