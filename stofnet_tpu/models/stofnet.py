@@ -46,9 +46,12 @@ class SemiGlobalBlock(nn.Module):
         s = jax.nn.leaky_relu(s, 0.01)
         # MaxPool1d(k=s=80) VALID == crop-to-multiple + reshape + max over
         # the window axis (windows never overlap; floor division == the
-        # crop). The reshape form avoids reduce_window, whose GRADIENT
-        # lowers to XLA select-and-scatter; reduce-max's eq-mask gradient
-        # is far cheaper on TPU (measured in scripts/profile_train.py).
+        # crop). Measured equivalent to nn.max_pool/reduce_window within
+        # backend noise in BOTH passes (scripts/profile_train.py: fwd
+        # 11.8 vs 11.8, full train step 45.3 vs 43.8 ms at B=128); kept
+        # for the simpler lowering. The train-step ablation there shows
+        # the SGB costs ~20 of the 45 ms/step — the (B, L, 512) tensor is
+        # a backward residual with ~5 GB of associated HBM traffic.
         rows = s.shape[1] // self.sample_scale
         s = s[:, : rows * self.sample_scale]
         s = s.reshape(s.shape[0], rows, self.sample_scale, feat).max(axis=2)
