@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from stofnet_tpu.models.init import torch_default
+from stofnet_tpu.ops.poolgrad import maxpool_leaky
 from stofnet_tpu.ops.shuffle import sample_shuffle
 
 
@@ -43,18 +44,14 @@ class SemiGlobalBlock(nn.Module):
         s = nn.Conv(feat, (self.kernel_size,), padding="SAME", dtype=self.dtype,
                     name="contract_conv",
                     **torch_default(self.kernel_size, x.shape[-1]))(x)
-        s = jax.nn.leaky_relu(s, 0.01)
-        # MaxPool1d(k=s=80) VALID == crop-to-multiple + reshape + max over
-        # the window axis (windows never overlap; floor division == the
-        # crop). Measured equivalent to nn.max_pool/reduce_window within
-        # backend noise in BOTH passes (scripts/profile_train.py: fwd
-        # 11.8 vs 11.8, full train step 45.3 vs 43.8 ms at B=128); kept
-        # for the simpler lowering. The train-step ablation there shows
-        # the SGB costs ~20 of the 45 ms/step — the (B, L, 512) tensor is
-        # a backward residual with ~5 GB of associated HBM traffic.
-        rows = s.shape[1] // self.sample_scale
-        s = s[:, : rows * self.sample_scale]
-        s = s.reshape(s.shape[0], rows, self.sample_scale, feat).max(axis=2)
+        # leaky -> MaxPool1d(k=s=80, VALID) as ONE op with a residual-lean
+        # custom VJP (ops/poolgrad.py): identical values (leaky commutes
+        # with max; floor division == the crop), but the backward saves
+        # 80x-smaller argmax offsets instead of keeping the dense
+        # (B, L, feat) conv output alive — the tensor the r3 train
+        # ablation (scripts/profile_train.py) and OOM walk (OOMDEMO.json)
+        # identified as training's dominant residual.
+        s = maxpool_leaky(s, self.sample_scale, 0.01)
         s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="expand_conv",
                     **torch_default(self.kernel_size, feat))(s)

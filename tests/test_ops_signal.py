@@ -111,3 +111,38 @@ def test_linear_resample_complex(rng):
     assert out.shape == (200,)
     np.testing.assert_allclose(out[0], data[0], rtol=1e-6)
     np.testing.assert_allclose(out[-1], data[-1], rtol=1e-6)
+
+
+def test_maxpool_leaky_values_and_grads(rng):
+    """ops/poolgrad.maxpool_leaky: values == leaky(maxpool) == maxpool
+    (leaky), and the residual-lean custom VJP matches jax.grad of the
+    plain expression away from ties (reference models/stofnet.py:89-91
+    tail semantics incl. the floor-crop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.ops.poolgrad import maxpool_leaky
+
+    y = jnp.asarray(rng.standard_normal((2, 165, 6)).astype(np.float32))
+
+    def plain(y):
+        rows = y.shape[1] // 80
+        y4 = y[:, : rows * 80].reshape(2, rows, 80, 6)
+        return jnp.max(jax.nn.leaky_relu(y4, 0.01), axis=2)
+
+    out = np.asarray(maxpool_leaky(y, 80, 0.01))
+    np.testing.assert_allclose(out, np.asarray(plain(y)), rtol=1e-6)
+    assert out.shape == (2, 2, 6)  # floor(165/80) rows
+
+    g1 = jax.grad(lambda y: jnp.sum(maxpool_leaky(y, 80, 0.01) ** 2))(y)
+    g2 = jax.grad(lambda y: jnp.sum(plain(y) ** 2))(y)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+    # the cropped tail (samples 160:165) must get exactly zero gradient
+    assert np.all(np.asarray(g1)[:, 160:] == 0)
+
+    # tie routing: first maximal element takes the whole cotangent
+    yt = jnp.zeros((1, 80, 1))
+    gt = jax.grad(lambda y: jnp.sum(maxpool_leaky(y, 80, 0.01)))(yt)
+    gt = np.asarray(gt)[0, :, 0]
+    assert gt[0] != 0 and np.all(gt[1:] == 0)
