@@ -146,3 +146,32 @@ def test_maxpool_leaky_values_and_grads(rng):
     gt = jax.grad(lambda y: jnp.sum(maxpool_leaky(y, 80, 0.01)))(yt)
     gt = np.asarray(gt)[0, :, 0]
     assert gt[0] != 0 and np.all(gt[1:] == 0)
+
+
+def test_maxpool_leaky_matches_torch_backward(rng):
+    """Golden vs torch: LeakyReLU(0.01) -> MaxPool1d(80) (the reference's
+    SemiGlobalBlock tail, models/stofnet.py:89-91) — forward values AND
+    input gradients, including torch's first-argmax tie routing."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from stofnet_tpu.ops.poolgrad import maxpool_leaky
+
+    y = rng.standard_normal((2, 323, 5)).astype(np.float32)
+    # plant an exact tie inside one window to pin the routing rule
+    y[0, 10, 0] = y[0, 55, 0] = 3.5
+
+    ty = torch.tensor(np.transpose(y, (0, 2, 1)), requires_grad=True)
+    tout = torch.nn.MaxPool1d(80)(torch.nn.LeakyReLU(0.01)(ty))
+    tout.backward(torch.ones_like(tout))
+    ref_out = np.transpose(tout.detach().numpy(), (0, 2, 1))
+    ref_grad = np.transpose(ty.grad.numpy(), (0, 2, 1))
+
+    out, vjp = jax.vjp(lambda v: maxpool_leaky(v, 80, 0.01), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-6)
+    (grad,) = vjp(jnp.ones_like(out))
+    np.testing.assert_allclose(np.asarray(grad), ref_grad,
+                               rtol=1e-6, atol=1e-7)
