@@ -293,3 +293,23 @@ def test_train_empty_val_split_raises(chirp_root, tmp_path):
     # chirp_root train split has 12 items -> train 10 / val 2 < batch 8
     with pytest.raises(ValueError, match="validation split is empty"):
         run(cfg)
+
+
+def test_evaluate_pala_on_mesh_matches_single_device(pala_root, tmp_path):
+    """The channel-flattened PALA eval batch (B*C waveforms, main.py:208-210
+    semantics) shards over the (dp, sp) mesh and reproduces single-device
+    metrics — the mesh parity check test_evaluate_on_mesh_matches_single_
+    device gives the chirp family, this covers the PALA branch (per-channel
+    multi-target GT, ch_gap subsampling)."""
+    common = dict(data_dir=str(pala_root) + "/", evaluate=True, batch_size=4,
+                  model="espcn", th=None, rf_scale_factor=2, max_echoes=8,
+                  sequences=[0, 1], ch_gap=16, etol=400)
+    out_single = run(base_cfg(tmp_path / "s", **common))
+    out_mesh = run(base_cfg(tmp_path / "m", mesh=True, mesh_dp=4, mesh_sp=2,
+                            **common))
+    assert out_mesh["total_distance_mean"] == pytest.approx(
+        out_single["total_distance_mean"], rel=1e-4, abs=1e-5, nan_ok=True)
+    assert out_mesh["total_jaccard"] == pytest.approx(
+        out_single["total_jaccard"], rel=1e-4, nan_ok=True)
+    assert out_mesh["val_loss"] == pytest.approx(out_single["val_loss"],
+                                                 rel=1e-3)
