@@ -71,6 +71,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+class ShapeRegression(Exception):
+    """Deterministic pipeline-output regression — never retried."""
+
+
 def fetch(thunk, what: str = "fetch"):
     """Run a device computation + host fetch with bounded in-process retries.
 
@@ -103,6 +107,8 @@ def respawn_on_failure(fn) -> None:
     attempt = int(os.environ.get("STOFNET_BENCH_ATTEMPT", "1"))
     try:
         fn()
+    except ShapeRegression:
+        raise  # deterministic — a fresh claim cannot fix it
     except Exception as e:  # noqa: BLE001
         log(f"bench attempt {attempt}/{PROCESS_ATTEMPTS} died: "
             f"{type(e).__name__}: {str(e)[:300]}")
@@ -253,9 +259,17 @@ def sustained_wf_s(body_fn, variables, batch, k, length=LENGTH):
             t0 = time.perf_counter()
             cs = np.asarray(run(variables, xs))
             dt = time.perf_counter() - t0
-            assert cs.shape == (k, batch, 8)
+            if cs.shape != (k, batch, 8):
+                # a deterministic pipeline regression, NOT a relay fault:
+                # surface it immediately instead of burning 3 retries + a
+                # process re-exec on something that can never recover
+                # (ShapeRegression is not retried; JaxRuntimeError is)
+                raise ShapeRegression(
+                    f"pipeline output shape {cs.shape} != {(k, batch, 8)}")
             best = min(best, dt)
             ok += 1
+        except ShapeRegression:
+            raise
         except Exception as e:  # noqa: BLE001 - drop the iteration, keep best
             log(f"timed stream iteration {i + 1}/3 failed "
                 f"({type(e).__name__}: {str(e)[:120]})")

@@ -31,11 +31,9 @@ def log(msg):
 
 
 def main():
-    import json
-
     from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
-    from stofnet_tpu.cli.sweep import (SWEEP_OVERRIDES, SWEEPS, format_table,
-                                       run_sweep)
+    from stofnet_tpu.cli.sweep import (SWEEP_OVERRIDES, SWEEPS, run_sweep,
+                                       write_tables)
     from stofnet_tpu.data.synthetic import generate_chirp_dataset
     from stofnet_tpu.utils.config import load_config
 
@@ -64,17 +62,7 @@ def main():
     for k, v in SWEEP_OVERRIDES["chirp"].items():
         scfg[k] = v
     results = run_sweep(scfg, rows)
-    for r in results:
-        if "total_parameters" not in r and r.get("run_name"):
-            summary = Path(scfg.run_dir) / f"{r['run_name']}_summary.json"
-            if summary.exists():
-                r.update(json.loads(summary.read_text()))
-    md = format_table(results)
-    out_dir = Path(scfg.run_dir)
-    (out_dir / "metrics_table.md").write_text(md + "\n")
-    (out_dir / "metrics_table.tex").write_text(
-        format_table(results, latex=True) + "\n")
-    print(md)
+    print(write_tables(results, scfg.run_dir))
 
 
 if __name__ == "__main__":

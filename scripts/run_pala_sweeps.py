@@ -41,7 +41,8 @@ def log(msg):
 
 def main():
     from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
-    from stofnet_tpu.cli.sweep import SWEEPS, format_table, run_sweep
+    from stofnet_tpu.cli.sweep import (SWEEP_OVERRIDES, SWEEPS, run_sweep,
+                                       write_tables)
     from stofnet_tpu.data.pala import generate_pala_dataset
     from stofnet_tpu.utils.config import load_config
 
@@ -63,36 +64,20 @@ def main():
     ckpt = Path(out["checkpoint"])
     log(f"trained-here checkpoint: {ckpt}")
 
-    # 2) PALA sweep: reference rows + the trained-here row
-    for sweep_name, extra_overrides, extra_row_th in (
-            ("pala", {}, None),
-            ("rat", {}, 1.0)):
+    # 2) both sweeps: reference rows + the trained-here row (the rat
+    #    protocol's th=1/ch_gap=1/etol=2 arrive via SWEEP_OVERRIDES)
+    for sweep_name, extra_row_th in (("pala", None), ("rat", 1.0)):
         rows = list(SWEEPS[sweep_name]) + [
             ["stofnet", ckpt.name, extra_row_th]]
         scfg = load_config(DEFAULT_CONFIG)
         scfg.update(data_dir=str(DATA), sequences=EVAL_SEQS,
                     ckpt_dir=str(CKPTS), max_echoes=8, seed=SEED,
                     run_dir=str(REPO / f"runs_{sweep_name}_sweep"),
-                    save_artifacts=False, th_search_interval=10,
-                    **extra_overrides)
-        from stofnet_tpu.cli.sweep import SWEEP_OVERRIDES
-
+                    save_artifacts=False, th_search_interval=10)
         for k, v in SWEEP_OVERRIDES[sweep_name].items():
             scfg[k] = v
         results = run_sweep(scfg, rows)
-        for r in results:  # attach parameter counts from run summaries
-            if "total_parameters" not in r and r.get("run_name"):
-                import json
-
-                summary = (Path(scfg.run_dir)
-                           / f"{r['run_name']}_summary.json")
-                if summary.exists():
-                    r.update(json.loads(summary.read_text()))
-        md = format_table(results)
-        tex = format_table(results, latex=True)
-        out_dir = Path(scfg.run_dir)
-        (out_dir / "metrics_table.md").write_text(md + "\n")
-        (out_dir / "metrics_table.tex").write_text(tex + "\n")
+        md = write_tables(results, scfg.run_dir)
         print(f"===== {sweep_name} =====")
         print(md)
         print()

@@ -258,7 +258,6 @@ def setup(cfg: Config):
                 variables = load_model_variables(cfg.model, path, n_layers)
                 print(f"loaded checkpoint {path}", file=sys.stderr)
             else:
-                random_init = True
                 # the reference silently skips a non-matching prefix and
                 # runs the fresh init (main.py:174-177); keep the no-crash
                 # semantics but make the benchmark-integrity hazard LOUD
@@ -268,6 +267,10 @@ def setup(cfg: Config):
                       f"metrics will not reflect trained weights",
                       file=sys.stderr)
         if variables is None:
+            # covers BOTH the unmatched prefix above and model_file=None:
+            # either way a trainable model evaluates on fresh-init weights
+            # and the integrity marker must say so
+            random_init = True
             L = info["sample_num"] * int(cfg.rf_scale_factor)
             variables = model.init(jax.random.key(int(cfg.seed)),
                                    jnp.zeros((1, 1, L)))

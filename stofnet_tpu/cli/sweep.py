@@ -200,6 +200,27 @@ def sweep_comparison_figure(results: List[Dict[str, Any]],
     return path
 
 
+def write_tables(results: List[Dict[str, Any]], run_dir) -> str:
+    """Attach per-run summary keys (total_parameters, random_init, ...)
+    and write metrics_table.{md,tex} under ``run_dir``; returns the
+    markdown. Shared by the sweep CLI and the table-regeneration scripts
+    so the integrity markers / schema can never diverge between them."""
+    import json
+
+    run_dir = Path(run_dir)
+    for r in results:
+        if "total_parameters" not in r and r.get("run_name"):
+            summary = run_dir / f"{r['run_name']}_summary.json"
+            if summary.exists():
+                r.update(json.loads(summary.read_text()))
+    run_dir.mkdir(parents=True, exist_ok=True)
+    md = format_table(results)
+    (run_dir / "metrics_table.md").write_text(md + "\n")
+    (run_dir / "metrics_table.tex").write_text(
+        format_table(results, latex=True) + "\n")
+    return md
+
+
 def main(argv: Optional[list] = None) -> None:
     args = list(argv) if argv is not None else sys.argv[1:]
     cfg = merge_cli(load_config(DEFAULT_CONFIG), args)
@@ -212,22 +233,8 @@ def main(argv: Optional[list] = None) -> None:
 
     results = run_sweep(cfg, rows)
 
-    # attach parameter counts from run summaries
-    for r in results:
-        if "total_parameters" not in r:
-            import json
-
-            summary = Path(cfg.get("run_dir", "runs")) / \
-                f"{r.get('run_name')}_summary.json"
-            if summary.exists():
-                r.update(json.loads(summary.read_text()))
-
     out_dir = Path(cfg.get("run_dir", "runs"))
-    out_dir.mkdir(parents=True, exist_ok=True)
-    md = format_table(results)
-    tex = format_table(results, latex=True)
-    (out_dir / "metrics_table.md").write_text(md + "\n")
-    (out_dir / "metrics_table.tex").write_text(tex + "\n")
+    md = write_tables(results, out_dir)
     fig = sweep_comparison_figure(results, out_dir)
     if fig is not None:
         print(f"comparison figure: {fig}", file=sys.stderr)

@@ -73,12 +73,17 @@ def _py_loadtxt(path) -> np.ndarray:
     files to 1-D, so it is NOT a drop-in here.)"""
     vals: list = []
     ncols = 0
-    with open(path) as f:
+    with open(path, encoding="utf-8-sig") as f:  # tolerate a BOM like C
         for lineno, line in enumerate(f, 1):
             line = line.split("#", 1)[0].replace(",", " ")
             nums = []
             for tok in line.split():
+                # python float() is MORE permissive than the C strtod
+                # sweep ('1_0' parses as 10.0!) — reject separators the
+                # C path flags so both paths agree on what is corrupt
                 try:
+                    if "_" in tok:
+                        raise ValueError
                     nums.append(float(tok))
                 except ValueError:
                     raise ValueError(

@@ -65,18 +65,21 @@ long fastload_floats(const char* path, double* out, long cap,
     char* p = buf;
     char* end;
     bool garbage = false;
+    // a UTF-8 BOM (written by some Windows editors) is not corruption
+    if (got >= 3 && (unsigned char)buf[0] == 0xEF
+        && (unsigned char)buf[1] == 0xBB && (unsigned char)buf[2] == 0xBF)
+        p += 3;
     while (*p) {
-        // skip separators (spaces, tabs, commas, newlines); anything else
-        // that is not the start of a number is garbage, not a separator
-        while (*p && !((*p >= '0' && *p <= '9') || *p == '-' || *p == '+'
-                       || *p == '.')) {
-            if (*p != ' ' && *p != '\t' && *p != ',' && *p != '\n'
-                && *p != '\r') garbage = true;
-            ++p;
-        }
+        // skip separators: spaces, tabs, commas, newlines and other
+        // control bytes; at anything else, let strtod decide — it
+        // accepts digits, signs, and nan/inf spellings (np.loadtxt
+        // parses nan/inf too), so only a truly unparseable byte is
+        // garbage
+        while (*p && (*p == ' ' || *p == '\t' || *p == ','
+                      || (unsigned char)*p < 0x20)) ++p;
         if (!*p) break;
         double v = std::strtod(p, &end);
-        if (end == p) { garbage = true; ++p; continue; }  // lone '-'/'.'/'+'
+        if (end == p) { garbage = true; ++p; continue; }
         if (out) {
             if (n >= cap) break;
             out[n] = v;

@@ -216,15 +216,20 @@ def sgb_contract_pool_trainable(h, kernel, bias, negative_slope=0.01,
     neither pass ever materializes the dense (B, L, F) conv output:
 
     - d(bias): sum of (leaky-adjusted) pooled cotangents.
-    - d(kernel), d(h): a lax.scan over output channels; each step scatters
-      the channel's R=L/80 cotangents to a dense (B, L) plane, contracts
-      it with the K tap-shifted inputs for d(kernel), and expands it with
-      the channel's tap weights via an (B, L, K) @ (K, C) matmul for d(h).
-      Peak extra memory is one (B, L) f32 plane + the (B, L, C) d(h)
-      accumulator — independent of F.
+    - d(kernel), d(h): a lax.scan over output channels in chunks of FC=8
+      (one-at-a-time measured ~6 s/step at B=512; chunking gives the
+      einsums real MXU shapes and runs 5.5x faster — OOMDEMO.json r3);
+      each step scatters the chunk's cotangents to a (B, L, FC) f32
+      plane, contracts it with the K tap-shifted inputs for d(kernel),
+      and expands it through a (B, L, K, FC) tap stack for d(h). Peak
+      extra memory per step is those two planes + the (B, L, C) d(h)
+      accumulator (~0.9 GB at B=512, L=8000) — independent of F.
 
     Gradients match jax.grad of the XLA expression exactly away from
-    pooling ties (both route a tie to one window element).
+    pooling ties (both route a tie to one window element); the op's
+    gradients are exactness-tested in tests/test_pallas_kernels.py and
+    the full train step with this op runs on hardware at B=512 where
+    plain-XLA training compile-OOMs (OOMDEMO.json).
     """
     return _run(h, kernel, bias, negative_slope, interpret,
                 with_argmax=False)

@@ -28,8 +28,11 @@ class Config(dict):
     Assignments after ``load_config`` are recorded into the raw-template
     overlay too, so a later ``merge_cli`` re-resolve keeps programmatic
     mutations instead of silently reverting keys that exist in the YAML
-    back to their file values (merge_cli itself bypasses this bookkeeping
-    via ``dict.update`` when it installs the resolved view).
+    back to their file values. NB: when merge_cli installs the resolved
+    view via ``cfg.update``, those writes land in the PREVIOUS _templates
+    dict, which merge_cli then replaces wholesale with the raw templates —
+    the replacement MUST stay after the update (re-resolution of ``${}``
+    depends on templates staying raw).
     """
 
     def __getattr__(self, name: str) -> Any:

@@ -307,3 +307,21 @@ def test_sweep_table_footnotes():
 
     md_clean = format_table(rows[:1])
     assert "†" not in md_clean  # no dagger section without random-init rows
+
+
+def test_bench_shape_regression_not_retried(monkeypatch):
+    """A deterministic output-shape regression must not be retried or
+    re-exec'd (it would burn ~15 min of claim churn and bury the error)."""
+    import bench
+
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", "1")
+    execs = []
+    monkeypatch.setattr(bench.os, "execv", lambda *a: execs.append(a))
+    monkeypatch.setattr(bench, "PROCESS_BACKOFF_S", 0.0)
+
+    def bad():
+        raise bench.ShapeRegression("pipeline output shape (1,) != (2,)")
+
+    with pytest.raises(bench.ShapeRegression):
+        bench.respawn_on_failure(bad)
+    assert not execs  # escalated immediately, no re-exec

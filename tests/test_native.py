@@ -120,8 +120,25 @@ def test_loadtxt_corrupt_token_fails_loudly(tmp_path):
     with pytest.raises(ValueError, match="line 2"):
         native._py_loadtxt(bad)
 
+    # '1_0' parses as 10.0 under python float() but is corrupt data —
+    # both paths must refuse it (code-review finding r3)
+    und = tmp_path / "und.txt"
+    und.write_text("1_0 2.0\n")
+    with pytest.raises(ValueError, match="1_0"):
+        native.loadtxt(und)
+
     ok = tmp_path / "ok.txt"
     ok.write_text("# header\n1.0, 2.0\n-3.5e1, .25\n")
     got = native.loadtxt(ok)
     np.testing.assert_allclose(got, [[1.0, 2.0], [-35.0, 0.25]])
     np.testing.assert_allclose(native._py_loadtxt(ok), got)
+
+    # a UTF-8 BOM is not corruption (Windows editors write one), and
+    # nan/inf are values (np.loadtxt semantics), in both paths
+    bom = tmp_path / "bom.txt"
+    bom.write_bytes(b"\xef\xbb\xbf1.0 2.0\nnan inf\n")
+    got = native.loadtxt(bom)
+    assert got.shape == (2, 2) and got[0, 0] == 1.0
+    assert np.isnan(got[1, 0]) and np.isinf(got[1, 1])
+    got_py = native._py_loadtxt(bom)
+    assert np.isnan(got_py[1, 0]) and np.isinf(got_py[1, 1])
