@@ -196,10 +196,11 @@ def try_fused_pipeline(variables, overrides, x, coords_ref):
     """Compile + parity-gate the Pallas path, retrying through Mosaic
     helper outages. Returns the jitted fn or None.
 
-    r3 composition: the manual-DMA packed-pair SGB kernel (measured 1.5 ms
-    vs XLA's 3.1 ms for contract+pool at B=128 — sgb_dma_kernel.py) + the
-    plain XLA conv stack (which the r2 measurements showed XLA already
-    lowers near-optimally; the fused conv-stack kernel loses 3x there)."""
+    r3 composition: the manual-DMA packed-pair SGB kernel
+    (sgb_dma_kernel.py) + the plain XLA conv stack — the faster of the
+    two Pallas compositions (15.0 vs 39.9 ms/batch, docs/DESIGN.md r3
+    table), though still behind plain XLA (12.3) on this backend's
+    kernel input path; measured every run, served only if it wins."""
     import jax
     import jax.numpy as jnp
 
