@@ -17,4 +17,4 @@ Layout:
     utils/     config, logging, misc
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
