@@ -17,8 +17,14 @@ reported so the serving-with-transfer story is on record).
 NOTE: block_until_ready() does not actually synchronize through the axon
 relay — only host fetches do, hence explicit np.asarray on outputs.
 
-Both compute paths are measured when available and reported side by side:
+All compute paths are measured when available and reported side by side
+(the fastest gate-passing one is served as the headline):
 - xla: the flax StofNet lowered by XLA (baseline path, always available)
+- xla-packed: position-packed convs, full 128-lane MXU utilization
+  (ops/packed_conv.py)
+- xla-int8sgb: the SGB contract conv on the MXU's 2x s8 path with an
+  int8 pre-pool tensor (models/int8.py) — attacks the measured 4.2 ms
+  gap directly
 - pallas-fused: SGB contract+pool and the conv stack as Pallas kernels
   (ops/pallas/*); the Mosaic compile helper in this harness is
   intermittently down, so compilation is retried with backoff and the
@@ -190,6 +196,48 @@ def try_packed_pipeline(variables, overrides, x, coords_ref):
     except Exception as e:
         log(f"packed pipeline failed ({type(e).__name__}: {str(e)[:120]})")
         return None
+
+
+def try_int8_pipeline(variables, overrides, x, coords_ref):
+    """The int8-SGB XLA path (models/int8.py): the SemiGlobalBlock's
+    contract conv — the pipeline's entire gap over roofline (4.2 ms of
+    10.3 at B=128: 2.6 ms HBM round-trip of the (B, L, 512) pre-pool
+    tensor + 1.7 ms MXU) — runs s8xs8->s32 on the MXU's 2x int8 path with
+    the pre-pool tensor requantized to int8 in the conv epilogue (half the
+    bytes). Calibrated on the gate batch; gated on the same 0.99
+    decoded-coord agreement as every other path (measured at the bf16
+    floor on CPU, models/int8.py docstring). Tries the integer-conv
+    lowering first, the shifted-s8-matmul fallback if the backend rejects
+    it."""
+    import jax.numpy as jnp
+
+    from stofnet_tpu.models.int8 import quantize_stofnet, stofnet_apply_int8
+    from stofnet_tpu.ops import mask2coords
+
+    try:
+        q = quantize_stofnet(variables, x, **overrides)
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 calibration failed ({type(e).__name__}: {str(e)[:120]})")
+        return None
+
+    for impl in ("conv", "dots"):
+        def pipe(v, xb, _impl=impl):
+            heat = stofnet_apply_int8(q, xb, dtype=jnp.bfloat16, impl=_impl,
+                                      **overrides)
+            return mask2coords(heat, window_size=20, threshold=None,
+                               upsample_factor=4, max_echoes=8)
+
+        try:
+            cq = np.asarray(pipe(variables, x))
+            agree = np.mean(np.abs(coords_ref - cq) <= 1.0)
+            log(f"int8-sgb pipeline ({impl}): coord agreement {agree:.4f}")
+            if agree >= 0.99:
+                return pipe
+            return None  # agreement is impl-independent: don't retry
+        except Exception as e:  # noqa: BLE001
+            log(f"int8-sgb pipeline ({impl}) failed "
+                f"({type(e).__name__}: {str(e)[:120]})")
+    return None
 
 
 def try_fused_pipeline(variables, overrides, x, coords_ref):
@@ -646,6 +694,20 @@ def main() -> None:
         except Exception:
             log("packed stream failed; xla path stands")
 
+    # int8-SGB path (the MXU s8 lowering of the pipeline's dominant block)
+    wf_int8 = None
+    pipe_int8 = (try_int8_pipeline(variables, overrides, x, c32)
+                 if (overrides and use_bf16
+                     and overrides.get("semi_global_scale", 80) != 1)
+                 else None)
+    if pipe_int8 is not None:
+        try:
+            wf_int8, dti = sustained_wf_s(pipe_int8, variables, BATCH, 50)
+            log(f"stream B={BATCH} k=50 (int8-sgb): {dti * 1e3:.2f} ms/batch "
+                f"-> {wf_int8:.1f} wf/s")
+        except Exception:
+            log("int8-sgb stream failed; xla path stands")
+
     # Pallas path, measured alongside (exact per tests/test_pallas_kernels.py)
     wf_fused = None
     pipe_fused = (try_fused_pipeline(variables, overrides, x, c32)
@@ -661,6 +723,8 @@ def main() -> None:
     candidates = {"xla": wf_xla}
     if wf_packed is not None:
         candidates["xla-packed"] = wf_packed
+    if wf_int8 is not None:
+        candidates["xla-int8sgb"] = wf_int8
     if wf_fused is not None:
         candidates["pallas-fused"] = wf_fused
     best_path = max(candidates, key=candidates.get)
@@ -688,6 +752,7 @@ def main() -> None:
         "path": best_path,
         "xla_wf_s": round(wf_xla, 1),
         "packed_wf_s": round(wf_packed, 1) if wf_packed else None,
+        "int8_wf_s": round(wf_int8, 1) if wf_int8 else None,
         "pallas_wf_s": round(wf_fused, 1) if wf_fused else None,
         "host_fed_wf_s": round(wf_host, 1) if wf_host else None,
         "mfu_pct": round(mfu, 1) if mfu is not None else None,

@@ -14,6 +14,7 @@ from stofnet_tpu.models.sincnet_full import MLP as SincMLP, SincNetFull
 from stofnet_tpu.models.wave_unet import WaveUnet
 from stofnet_tpu.models.kuleshov import Kuleshov
 from stofnet_tpu.models.gradpeak import GradPeak
+from stofnet_tpu.models.int8 import quantize_stofnet, stofnet_apply_int8
 from stofnet_tpu.models.registry import (
     MODEL_NAMES,
     build_model,
@@ -35,6 +36,8 @@ __all__ = [
     "WaveUnet",
     "Kuleshov",
     "GradPeak",
+    "quantize_stofnet",
+    "stofnet_apply_int8",
     "MODEL_NAMES",
     "build_model",
     "export_checkpoint",

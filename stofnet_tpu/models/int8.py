@@ -1,0 +1,225 @@
+"""Post-training-quantized (int8) StofNet serving path.
+
+Parity target: /root/reference/models/stofnet.py:42-67 (the StofNet
+forward) reproduced functionally over the imported parameter tree, like
+models/fused.py — the reference has no quantized path; this is the
+TPU-native performance extension on top of exact parity.
+
+What gets int8 and why (r3 gap attribution, docs/DESIGN.md): the
+pipeline's entire gap over roofline is the SemiGlobalBlock contract
+conv's (B, L, 512) pre-pool materialization (~2.6 ms of HBM round-trip +
+1.7 ms of MXU at B=128/L=8k, of a 10.3 ms pipeline). v5e's MXU does
+s8xs8->s32 at 2x the bf16 rate and int8 halves the pre-pool bytes, so BY
+DEFAULT exactly that conv is quantized.
+
+The quantization scheme — every choice below was MEASURED on both noise
+batches and synthetic chirp echo data (decoded-coord agreement vs f32;
+see tests/test_int8.py and docs/DESIGN.md):
+
+- **Weights**: per-output-channel symmetric s8 of the RAW kernel.
+  Weight-only quantization is free (agreement 1.0000). Do NOT fold
+  per-input-channel activation scales into the kernel before quantizing:
+  heterogeneous channel scales make the folded rows span wildly
+  different magnitudes and per-output-channel rounding then destroys the
+  small-scale rows — measured catastrophic on echo data (agreement
+  0.875, decode shifts of hundreds of samples) at ANY input precision
+  (even a folded u16 input fails identically, which is what pinned the
+  fault on the folded-weight rounding).
+- **Activations**: per-tensor symmetric s8 with a DYNAMIC (runtime)
+  scale ``max|h|/127`` — one scalar reduce fused off the previous conv's
+  output. The contract input is post-ReLU so the codes span 0..127.
+  Measured: agreement 1.0000 on chirp echoes (max coord delta 0.0),
+  0.9961 on B=64 noise == the bf16 floor exactly; an unsigned 0..255
+  code buys nothing further (same 0.9961), so the plain s8 lowering is
+  used.
+- **The (B, L, 512) pre-pool tensor is REQUANTIZED to s8 in the conv
+  epilogue** (per-channel calibrated scale, 1.25x headroom against
+  serve-time saturation): requantization (clip(round(v/s)) with s>0) is
+  monotone, so 80x max-pool commutes with it exactly — pooling the s8
+  codes and dequantizing the max equals quantizing the pooled f32 maxima
+  (property-tested). Measured alone: agreement 1.0000 (max delta <= 1
+  sample). This is the half-the-HBM-bytes half of the win.
+
+``quant_stack=True`` additionally quantizes the ten k=7 stack convs
+(FLOP-bound, ~5.9 ms) with the same dynamic-per-tensor scheme. Measured
+honestly: activation rounding there COMPOUNDS through the residual chain
+and flips which near-tie noise peak ranks first (~0.96 agreement at
+B=64; MSE-optimal clip calibration is WORSE than absmax because decode
+cares about peaks; per-row dynamic scales do not help). It is an
+experimental opt-in, not the serving default; bench.py would refuse to
+serve it through its 0.99 gate. Everything else stays bf16/f32: conv1
+(Cin=1), the expand conv ((B, L/80, 512) input), conv_last (Cout=4), all
+residual carries, decode.
+
+Serving safety: bench.py measures this path alongside xla/packed/pallas
+and serves it only if it is both fastest AND passes the same
+decoded-coordinate agreement gate (>=99% of coords within +-1 sample of
+the f32 pipeline) every other path must pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stofnet_tpu.models.fused import _conv1d_same
+from stofnet_tpu.ops.int8 import conv1d_same_int8, quantize_weight
+from stofnet_tpu.ops.shuffle import sample_shuffle
+
+_QCONFIG = ("upsample_factor", "num_blocks", "semi_global_scale")
+PRE_SCALE_HEADROOM = 1.25
+
+
+def _kb(p, name):
+    node = p
+    for part in name.split("."):
+        node = node[part]
+    return (jnp.asarray(node["kernel"], jnp.float32),
+            jnp.asarray(node["bias"], jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("semi_global_scale",))
+def _prepool_absmax(variables: Any, x: jnp.ndarray,
+                    semi_global_scale: int = 80):
+    """f32 forward to the SGB contract conv output; returns its
+    per-channel absmax (the pre-pool requantization scale basis).
+    Mirrors StofNet.__call__ up to that point (models/stofnet.py:83-98).
+    """
+    p = variables["params"]
+    h = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)
+    h = jax.nn.relu(_conv1d_same(h, *_kb(p, "conv1")))
+    v = _conv1d_same(h, *_kb(p, "semi_global_block.contract_conv"))
+    return jnp.max(jnp.abs(v), axis=(0, 1), keepdims=True)
+
+
+def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
+                     upsample_factor: int = 4, num_blocks: int = 13,
+                     semi_global_scale: int = 80) -> dict:
+    """Build the int8 serving state from a trained parameter tree.
+
+    ``calib_x`` is a representative (B, 1, L) batch; its only calibration
+    role is the pre-pool tensor's per-channel requantization scale
+    (activation input scales are dynamic at runtime). Returns a pytree of
+    arrays, so ``stofnet_apply_int8`` can take it as a jit argument.
+    """
+    p = variables["params"]
+    q: dict = {"f32": {}, "stack": {}}
+    for name in ["conv1", "conv_last"] + [f"conv{i}" for i in
+                                          range(2, num_blocks)]:
+        k, b = _kb(p, name)
+        q["f32"][name] = {"kernel": k, "bias": b}
+
+    if semi_global_scale != 1:
+        k, b = _kb(p, "semi_global_block.expand_conv")
+        q["f32"]["expand"] = {"kernel": k, "bias": b}
+        k, b = _kb(p, "semi_global_block.contract_conv")
+        wq, ws = quantize_weight(k)
+        pre = _prepool_absmax(variables, calib_x, semi_global_scale)
+        pre_scale = pre * PRE_SCALE_HEADROOM / 127.0
+        q["contract"] = {"wq": wq, "wscale": ws, "bias": b,
+                         "pre_scale": pre_scale.astype(jnp.float32)}
+
+    for i in range(2, num_blocks):
+        k, b = _kb(p, f"conv{i}")
+        wq, ws = quantize_weight(k)
+        q["stack"][f"conv{i}"] = {"wq": wq, "wscale": ws, "bias": b}
+    return q
+
+
+def _dyn_quant(h: jnp.ndarray):
+    """Dynamic per-tensor symmetric s8: one scalar reduce + an elementwise
+    pass, both fusable into the producing/consuming convs' epilogues."""
+    hf = h.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(hf)), 1e-30) / 127.0
+    xq = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def _qconv(h: jnp.ndarray, layer: dict, impl: str) -> jnp.ndarray:
+    """Dynamic-quantize the activation, run the s8 conv, dequantize: the
+    input scale is a runtime scalar, the weight scale per output channel,
+    so the epilogue is one fused multiply-add."""
+    xq, s_in = _dyn_quant(h)
+    acc = conv1d_same_int8(xq, layer["wq"], impl=impl)
+    return (acc.astype(jnp.float32) * (s_in * layer["wscale"])
+            + layer["bias"])
+
+
+@partial(jax.jit, static_argnames=_QCONFIG + ("dtype", "impl",
+                                              "quant_stack"))
+def stofnet_apply_int8(
+    q: dict,
+    x: jnp.ndarray,
+    upsample_factor: int = 4,
+    num_blocks: int = 13,
+    semi_global_scale: int = 80,
+    dtype: Optional[Any] = jnp.bfloat16,
+    impl: str = "conv",
+    quant_stack: bool = False,
+) -> jnp.ndarray:
+    """StofNet forward, (B, 1, L) -> (B, 1, L*r), int8 SGB contract conv.
+
+    ``impl`` picks the s8 conv lowering (ops/int8.py): ``"conv"`` (one
+    integer convolution) or ``"dots"`` (K shifted s8 matmuls).
+    ``quant_stack=True`` also runs conv2..conv{num_blocks-1} in int8 —
+    experimental; see the module docstring for why it is off by default.
+    """
+    h = jnp.transpose(x, (0, 2, 1))
+    if dtype is not None:
+        h = h.astype(dtype)
+    f32 = q["f32"]
+    h = jax.nn.relu(_conv1d_same(h, f32["conv1"]["kernel"],
+                                 f32["conv1"]["bias"], dtype))
+
+    if semi_global_scale != 1:
+        c = q["contract"]
+        xq, s_in = _dyn_quant(h)
+        acc = conv1d_same_int8(xq, c["wq"], impl=impl)
+        # requantize the pre-pool tensor to s8 IN the conv epilogue: the
+        # (B, L, feat) tensor hits HBM as s8 (half the bf16 bytes)
+        m = s_in * c["wscale"] / c["pre_scale"]
+        qpre = jnp.clip(jnp.round(acc.astype(jnp.float32) * m
+                                  + c["bias"] / c["pre_scale"]),
+                        -127, 127).astype(jnp.int8)
+        rows = qpre.shape[1] // semi_global_scale
+        qp = jnp.max(qpre[:, : rows * semi_global_scale].reshape(
+            qpre.shape[0], rows, semi_global_scale, qpre.shape[2]), axis=2)
+        pooled = qp.astype(jnp.float32) * c["pre_scale"]  # dequant the max
+        pooled = jnp.where(pooled >= 0, pooled, 0.01 * pooled)  # leaky
+        if dtype is not None:
+            pooled = pooled.astype(dtype)
+        s = _conv1d_same(pooled, f32["expand"]["kernel"],
+                         f32["expand"]["bias"], dtype)
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, semi_global_scale, axis=1)
+        pad = max(0, h.shape[1] - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        h = h + s
+
+    def stack_conv(h, i):
+        if quant_stack:
+            y = _qconv(h, q["stack"][f"conv{i}"], impl)
+        else:
+            y = _conv1d_same(h, f32[f"conv{i}"]["kernel"],
+                             f32[f"conv{i}"]["bias"], dtype)
+        return y.astype(dtype) if dtype is not None else y
+
+    residual_layers = set(range(3, num_blocks - 1, 2))
+    res = res1 = h
+    for i in range(2, num_blocks - 1):
+        y = stack_conv(h, i)
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+
+    h = res1 + stack_conv(h, num_blocks - 1)
+
+    h = _conv1d_same(h, f32["conv_last"]["kernel"], f32["conv_last"]["bias"],
+                     dtype)
+    h = jnp.transpose(h, (0, 2, 1))
+    return sample_shuffle(h, upsample_factor).astype(jnp.float32)
