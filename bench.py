@@ -47,8 +47,8 @@ backend for the whole process, so only a re-exec can recover it.
 Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
-  Pallas-fused SGB keeps it in VMEM tiles) and print one JSON line with
-  the outcome of both paths.
+  Pallas-fused SGB keeps it in VMEM tiles; the int8-SGB path shrinks it
+  to s8) and print one JSON line with each path's outcome.
   --scaling: batch-size scaling curve (B=16..1024) of the XLA pipeline.
 """
 
@@ -416,6 +416,26 @@ def oom_demo():
     except Exception as e:
         results["pallas_b2048"] = failure_summary(e)
     log(f"pallas B={big}: {results['pallas_b2048']}")
+
+    # int8-SGB XLA path: the s8 pre-pool tensor is 8.4 GB instead of bf16's
+    # 16.8, so plain XLA may clear the memory cliff too (models/int8.py)
+    try:
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+        from stofnet_tpu.ops import mask2coords
+
+        q = quantize_stofnet(variables, x[:32], **overrides)
+
+        def pipe_int8(xb):
+            heat = stofnet_apply_int8(q, xb, dtype=jnp.bfloat16, **overrides)
+            return mask2coords(heat, window_size=20, threshold=None,
+                               upsample_factor=4, max_echoes=8)
+
+        c = np.asarray(pipe_int8(x))
+        results["int8_b2048"] = f"ok ({c.shape})"
+    except Exception as e:
+        results["int8_b2048"] = failure_summary(e)
+    log(f"int8-sgb B={big}: {results['int8_b2048']}")
 
     results.update(oom_train_demo(variables, overrides, failure_summary))
 

@@ -164,6 +164,27 @@ def test_int8_chirp_protocol_agreement(rng, tmp_path):
     assert agree >= 0.99, f"chirp coord agreement {agree:.3f}"
 
 
+def test_int8_sharded_matches_single_device(rng):
+    """int8 serving under dp sharding: the dynamic per-tensor activation
+    scale is a GLOBAL max, so GSPMD inserts the cross-shard reduce and the
+    sharded decode must match single-device bit-for-bit."""
+    from stofnet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    model = StofNet()
+    x = rng.standard_normal((8, 1, 800)).astype(np.float32)
+    x /= np.abs(x).max(axis=-1, keepdims=True)
+    x = jnp.asarray(x)
+    variables = model.init(jax.random.key(0), x)
+    q = quantize_stofnet(variables, x)
+
+    single = np.asarray(stofnet_apply_int8(q, x, dtype=None))
+
+    mesh = make_mesh(dp=8)
+    xs = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    sharded = np.asarray(stofnet_apply_int8(q, xs, dtype=None))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_int8_no_sgb_variant_runs(rng):
     model = StofNet(semi_global_scale=1)
     x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
