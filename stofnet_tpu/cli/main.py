@@ -315,6 +315,45 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                         num_workers=nw)
     up = int(cfg.upsample_factor)
 
+    # int8=True swaps the forward for the quantized serving path
+    # (models/int8.py: s8 SGB contract conv + s8 pre-pool tensor) so the
+    # full benchmark protocol — decode, loss, toa_rmse — scores the
+    # quantized model exactly like any other; decode/metrics stay f32.
+    use_int8 = bool(cfg.get("int8"))
+    if use_int8:
+        if str(cfg.model).lower() != "stofnet":
+            raise ValueError("int8=True supports model=stofnet only "
+                             "(the quantized path targets the "
+                             "SemiGlobalBlock; other models have none)")
+        from types import SimpleNamespace
+
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        calib = None
+        for batch in loader:
+            calib, _ = batch_to_arrays(batch, kind)
+            break
+        if calib is None:
+            raise ValueError("int8=True needs at least one eval batch for "
+                             "the pre-pool requantization calibration")
+        m = ctx["model"]
+        ov = {"upsample_factor": int(m.upsample_factor),
+              "num_blocks": int(m.num_blocks),
+              "semi_global_scale": int(m.semi_global_scale)}
+        q = quantize_stofnet(ctx["variables"], jnp.asarray(calib), **ov)
+        int8_dtype = (jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16"
+                      else None)
+
+        def int8_forward(_variables, frame):
+            pred = stofnet_apply_int8(q, frame, dtype=int8_dtype, **ov)
+            return pred, jnp.sum(pred.astype(jnp.float32))
+
+        eval_step = SimpleNamespace(forward=int8_forward,
+                                    finish=eval_step.finish)
+        print("int8 serving path: s8 SGB contract conv + s8 pre-pool "
+              "tensor (weights/decode unchanged)", file=sys.stderr)
+
     def host_batches():
         for batch in loader:
             frame, gt = batch_to_arrays(batch, kind)
@@ -410,6 +449,8 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         if (~np.isnan(dist)).any() else float("nan"),
         "val_loss": float(np.mean(total["loss"])) if total["loss"] else 0.0,
     }
+    if use_int8:
+        summary["int8"] = True
     logger.set_summary(**summary)
     return summary
 

@@ -313,3 +313,34 @@ def test_evaluate_pala_on_mesh_matches_single_device(pala_root, tmp_path):
         out_single["total_jaccard"], rel=1e-4, nan_ok=True)
     assert out_mesh["val_loss"] == pytest.approx(out_single["val_loss"],
                                                  rel=1e-3)
+
+
+def test_evaluate_int8_serving_path(chirp_root, tmp_path):
+    """``int8=True`` runs the quantized serving path (models/int8.py)
+    through the FULL benchmark protocol — decode, loss, toa_rmse — and
+    scores within a near-tie margin of the f32 pipeline (the SGB-only
+    scheme is decode-exact up to occasional near-tie peak flips; see
+    tests/test_int8.py for the per-coordinate agreement gates)."""
+    if reference.ckpt_path("different-armadillo") is None:
+        pytest.skip("reference ckpts unavailable")
+    common = dict(data_dir=str(chirp_root), evaluate=True, batch_size=2,
+                  model="stofnet", model_file="different-armadillo", th=None,
+                  rf_scale_factor=10, max_echoes=8, etol=1600,
+                  ckpt_dir="/root/reference/ckpts", save_artifacts=False)
+    out_f32 = run(base_cfg(tmp_path / "f32", **common))
+    out_q = run(base_cfg(tmp_path / "q", int8=True, **common))
+    assert out_q["int8"] is True
+    assert "int8" not in out_f32
+    assert np.isfinite(out_q["val_loss"])
+    # the SGB is the only quantized op: heatmap loss moves by rounding only
+    assert out_q["val_loss"] == pytest.approx(out_f32["val_loss"], rel=0.02)
+    assert abs(out_q["total_distance_mean"]
+               - out_f32["total_distance_mean"]) < 10.0
+
+
+def test_evaluate_int8_rejects_other_models(chirp_root, tmp_path):
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                   batch_size=2, model="espcn", th=None, rf_scale_factor=4,
+                   max_echoes=8, int8=True)
+    with pytest.raises(ValueError, match="int8"):
+        run(cfg)
