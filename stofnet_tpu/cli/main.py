@@ -325,34 +325,45 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             raise ValueError("int8=True supports model=stofnet only "
                              "(the quantized path targets the "
                              "SemiGlobalBlock; other models have none)")
-        from types import SimpleNamespace
-
         from stofnet_tpu.models.int8 import (quantize_stofnet,
                                              stofnet_apply_int8)
 
-        calib = None
+        # pre-pool requantization calibration: per-channel absmax over up
+        # to 8 batches (one atypically quiet first batch must not set a
+        # scale the rest of the split saturates; activation input scales
+        # are dynamic per waveform and need no calibration at all)
+        calib = []
         for batch in loader:
-            calib, _ = batch_to_arrays(batch, kind)
-            break
-        if calib is None:
+            calib.append(batch_to_arrays(batch, kind)[0])
+            if len(calib) >= 8:
+                break
+        if not calib:
             raise ValueError("int8=True needs at least one eval batch for "
                              "the pre-pool requantization calibration")
         m = ctx["model"]
         ov = {"upsample_factor": int(m.upsample_factor),
               "num_blocks": int(m.num_blocks),
               "semi_global_scale": int(m.semi_global_scale)}
-        q = quantize_stofnet(ctx["variables"], jnp.asarray(calib), **ov)
+        q = quantize_stofnet(ctx["variables"],
+                             jnp.asarray(np.concatenate(calib)), **ov)
         int8_dtype = (jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16"
                       else None)
+        finish = eval_step.finish
 
         def int8_forward(_variables, frame):
             pred = stofnet_apply_int8(q, frame, dtype=int8_dtype, **ov)
             return pred, jnp.sum(pred.astype(jnp.float32))
 
-        eval_step = SimpleNamespace(forward=int8_forward,
-                                    finish=eval_step.finish)
-        print("int8 serving path: s8 SGB contract conv + s8 pre-pool "
-              "tensor (weights/decode unchanged)", file=sys.stderr)
+        def int8_eval_step(variables, frame, gt_sample, gt_true):
+            pred, _ = int8_forward(variables, frame)
+            return finish(pred, gt_sample, gt_true)
+
+        int8_eval_step.forward = int8_forward
+        int8_eval_step.finish = finish
+        eval_step = int8_eval_step
+        print(f"int8 serving path: s8 SGB contract conv + s8 pre-pool "
+              f"tensor, calibrated on {sum(c.shape[0] for c in calib)} "
+              f"waveforms (weights/decode unchanged)", file=sys.stderr)
 
     def host_batches():
         for batch in loader:
@@ -645,6 +656,10 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
 
 
 def run(cfg: Config) -> Dict[str, Any]:
+    if cfg.get("int8") and not cfg.evaluate:
+        raise ValueError("int8=True is a SERVING path (evaluate=True only):"
+                         " training runs full-precision — drop the flag or"
+                         " add evaluate=True")
     ctx = setup(cfg)
     import jax
 

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from stofnet_tpu.ops.shuffle import sample_shuffle
-from stofnet_tpu.ops.packed_conv import conv1d_blocked, conv1d_same_packed
+from stofnet_tpu.ops.packed_conv import (
+    conv1d_blocked, conv1d_same as _conv1d_same, conv1d_same_packed,
+)
 from stofnet_tpu.ops.pallas.sgb_kernel import (
     sgb_contract_pool,
     sgb_contract_pool_trainable,
@@ -37,18 +39,6 @@ from stofnet_tpu.ops.pallas.sgb_dma_kernel import (
     dma_supported,
     sgb_contract_pool_dma,
 )
-
-
-def _conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                 dtype=None) -> jnp.ndarray:
-    """flax nn.Conv(padding='SAME') equivalence: (B, L, Cin) x (K, Cin, Cout)."""
-    if dtype is not None:
-        x, kernel, bias = x.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
-    k = kernel.shape[0]
-    y = lax.conv_general_dilated(
-        x, kernel, window_strides=(1,), padding=[((k - 1) // 2, k // 2)],
-        dimension_numbers=("NHC", "HIO", "NHC"))
-    return y + bias
 
 
 @partial(jax.jit, static_argnames=("upsample_factor", "num_blocks",

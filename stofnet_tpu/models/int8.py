@@ -25,13 +25,18 @@ see tests/test_int8.py and docs/DESIGN.md):
   0.875, decode shifts of hundreds of samples) at ANY input precision
   (even a folded u16 input fails identically, which is what pinned the
   fault on the folded-weight rounding).
-- **Activations**: per-tensor symmetric s8 with a DYNAMIC (runtime)
-  scale ``max|h|/127`` — one scalar reduce fused off the previous conv's
-  output. The contract input is post-ReLU so the codes span 0..127.
-  Measured: agreement 1.0000 on chirp echoes (max coord delta 0.0),
-  0.9961 on B=64 noise == the bf16 floor exactly; an unsigned 0..255
-  code buys nothing further (same 0.9961), so the plain s8 lowering is
-  used.
+- **Activations**: per-WAVEFORM symmetric s8 with a DYNAMIC (runtime)
+  scale ``max|h_row|/127`` — one per-row reduce fused off the previous
+  conv's output. Per-row so each waveform's codes are independent of its
+  batch neighbours (a quiet waveform co-batched with a loud one keeps its
+  full code range; with a shared per-tensor scale its decode would depend
+  on batch composition, which the f32 path's does not). The contract
+  input is post-ReLU so the codes span 0..127. Measured: agreement
+  1.0000 on chirp echoes (max coord delta 0.0), 0.9961 on B=64 noise ==
+  the bf16 floor exactly (identical for per-tensor and per-row scales on
+  these normalized batches; per-row is strictly finer); an unsigned
+  0..255 code buys nothing further (same 0.9961), so the plain s8
+  lowering is used.
 - **The (B, L, 512) pre-pool tensor is REQUANTIZED to s8 in the conv
   epilogue** (per-channel calibrated scale, 1.25x headroom against
   serve-time saturation): requantization (clip(round(v/s)) with s>0) is
@@ -65,8 +70,9 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from stofnet_tpu.models.fused import _conv1d_same
-from stofnet_tpu.ops.int8 import conv1d_same_int8, quantize_weight
+from stofnet_tpu.ops.int8 import (INT8_MAX, absmax_scale, conv1d_same_int8,
+                                  quantize, quantize_weight)
+from stofnet_tpu.ops.packed_conv import conv1d_same as _conv1d_same
 from stofnet_tpu.ops.shuffle import sample_shuffle
 
 _QCONFIG = ("upsample_factor", "num_blocks", "semi_global_scale")
@@ -81,9 +87,8 @@ def _kb(p, name):
             jnp.asarray(node["bias"], jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("semi_global_scale",))
-def _prepool_absmax(variables: Any, x: jnp.ndarray,
-                    semi_global_scale: int = 80):
+@jax.jit
+def _prepool_absmax(variables: Any, x: jnp.ndarray):
     """f32 forward to the SGB contract conv output; returns its
     per-channel absmax (the pre-pool requantization scale basis).
     Mirrors StofNet.__call__ up to that point (models/stofnet.py:83-98).
@@ -97,16 +102,20 @@ def _prepool_absmax(variables: Any, x: jnp.ndarray,
 
 def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
                      upsample_factor: int = 4, num_blocks: int = 13,
-                     semi_global_scale: int = 80) -> dict:
+                     semi_global_scale: int = 80,
+                     quant_stack: bool = False) -> dict:
     """Build the int8 serving state from a trained parameter tree.
 
     ``calib_x`` is a representative (B, 1, L) batch; its only calibration
     role is the pre-pool tensor's per-channel requantization scale
     (activation input scales are dynamic at runtime). Returns a pytree of
     arrays, so ``stofnet_apply_int8`` can take it as a jit argument.
+    ``quant_stack=True`` additionally builds s8 twins of the ten k=7 stack
+    convs for the experimental full-stack mode — off by default so the
+    serving pytree ships exactly one copy of each stack kernel.
     """
     p = variables["params"]
-    q: dict = {"f32": {}, "stack": {}}
+    q: dict = {"f32": {}}
     for name in ["conv1", "conv_last"] + [f"conv{i}" for i in
                                           range(2, num_blocks)]:
         k, b = _kb(p, name)
@@ -117,31 +126,39 @@ def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
         q["f32"]["expand"] = {"kernel": k, "bias": b}
         k, b = _kb(p, "semi_global_block.contract_conv")
         wq, ws = quantize_weight(k)
-        pre = _prepool_absmax(variables, calib_x, semi_global_scale)
-        pre_scale = pre * PRE_SCALE_HEADROOM / 127.0
+        pre = _prepool_absmax(variables, calib_x)
+        # all-zero (dead) channel guard, same convention as absmax_scale:
+        # a zero pre-pool channel requantizes as a no-op instead of 0-div
+        pre = jnp.where(pre > 0, pre, INT8_MAX)
+        pre_scale = pre * PRE_SCALE_HEADROOM / INT8_MAX
         q["contract"] = {"wq": wq, "wscale": ws, "bias": b,
                          "pre_scale": pre_scale.astype(jnp.float32)}
 
-    for i in range(2, num_blocks):
-        k, b = _kb(p, f"conv{i}")
-        wq, ws = quantize_weight(k)
-        q["stack"][f"conv{i}"] = {"wq": wq, "wscale": ws, "bias": b}
+    if quant_stack:
+        q["stack"] = {}
+        for i in range(2, num_blocks):
+            k, b = _kb(p, f"conv{i}")
+            wq, ws = quantize_weight(k)
+            q["stack"][f"conv{i}"] = {"wq": wq, "wscale": ws, "bias": b}
     return q
 
 
 def _dyn_quant(h: jnp.ndarray):
-    """Dynamic per-tensor symmetric s8: one scalar reduce + an elementwise
-    pass, both fusable into the producing/consuming convs' epilogues."""
+    """Dynamic PER-WAVEFORM symmetric s8 (scale (B, 1, 1) = row absmax/127):
+    one per-row reduce + an elementwise pass, both fusable into the
+    producing/consuming convs' epilogues. Per-row rather than per-tensor so
+    each waveform's codes — and therefore its decode — are independent of
+    whatever it is co-batched with (a quiet waveform next to a loud one
+    must not collapse onto a few codes)."""
     hf = h.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(hf)), 1e-30) / 127.0
-    xq = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
-    return xq, scale
+    scale = absmax_scale(hf, axis=(1, 2))
+    return quantize(hf, scale), scale
 
 
 def _qconv(h: jnp.ndarray, layer: dict, impl: str) -> jnp.ndarray:
     """Dynamic-quantize the activation, run the s8 conv, dequantize: the
-    input scale is a runtime scalar, the weight scale per output channel,
-    so the epilogue is one fused multiply-add."""
+    input scale is a runtime (B, 1, 1) row scalar, the weight scale per
+    output channel, so the epilogue is one fused multiply-add."""
     xq, s_in = _dyn_quant(h)
     acc = conv1d_same_int8(xq, layer["wq"], impl=impl)
     return (acc.astype(jnp.float32) * (s_in * layer["wscale"])

@@ -33,6 +33,24 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                dtype=None) -> jnp.ndarray:
+    """flax nn.Conv(padding='SAME') equivalence: (B, L, Cin) x (K, Cin, Cout).
+
+    The shared plain-XLA SAME-conv lowering used by the functional forward
+    paths (models/fused.py, models/int8.py); SAME pads (k-1)//2 left, k//2
+    right like flax.
+    """
+    if dtype is not None:
+        x, kernel, bias = (x.astype(dtype), kernel.astype(dtype),
+                           bias.astype(dtype))
+    k = kernel.shape[0]
+    y = lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[((k - 1) // 2, k // 2)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + bias
+
+
 def pack_kernel(kernel: jnp.ndarray, pack: int
                 ) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     """Build the block-conv kernel for P packed positions.

@@ -83,7 +83,9 @@ def _armadillo_coords(rng):
     variables, overrides = import_stofnet(str(path))
     model = StofNet(**overrides)
 
-    x = rng.standard_normal((4, 1, 800)).astype(np.float32)
+    # B=64 (512 coordinate slots): the documented gate basis — at tiny B a
+    # single near-tie noise flip dominates the ratio (1/32 busts 0.99)
+    x = rng.standard_normal((64, 1, 800)).astype(np.float32)
     x /= np.abs(x).max(axis=-1, keepdims=True)
     x = jnp.asarray(x)
 
@@ -119,7 +121,7 @@ def test_int8_full_stack_experimental(rng):
     agreement sits BELOW the serving gate (~0.96 at B=64) but must stay in
     the measured band; a collapse here means the path broke outright."""
     variables, overrides, x, coords, c_ref, _ = _armadillo_coords(rng)
-    q = quantize_stofnet(variables, x, **overrides)
+    q = quantize_stofnet(variables, x, quant_stack=True, **overrides)
     heat_q = np.asarray(stofnet_apply_int8(q, x, dtype=None,
                                            quant_stack=True, **overrides))
     agree = np.mean(np.abs(c_ref - coords(heat_q)) <= 1.0)
@@ -165,9 +167,9 @@ def test_int8_chirp_protocol_agreement(rng, tmp_path):
 
 
 def test_int8_sharded_matches_single_device(rng):
-    """int8 serving under dp sharding: the dynamic per-tensor activation
-    scale is a GLOBAL max, so GSPMD inserts the cross-shard reduce and the
-    sharded decode must match single-device bit-for-bit."""
+    """int8 serving under dp sharding: the dynamic activation scales are
+    per-waveform (row-local, no cross-shard reduce needed) and the sharded
+    decode must match single-device bit-for-bit."""
     from stofnet_tpu.parallel.mesh import batch_sharding, make_mesh
 
     model = StofNet()
@@ -185,11 +187,30 @@ def test_int8_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_int8_batch_composition_independence(rng):
+    """A waveform's int8 decode must not depend on what it is co-batched
+    with: the dynamic activation scales are per-waveform, so serving the
+    same waveform alone and next to a 100x louder one yields bit-identical
+    outputs (a shared per-tensor scale would collapse the quiet waveform
+    onto a few codes)."""
+    model = StofNet()
+    x = rng.standard_normal((2, 1, 800)).astype(np.float32)
+    x /= np.abs(x).max(axis=-1, keepdims=True)
+    x[1] *= 100.0  # deliberately unnormalized loud neighbour
+    x = jnp.asarray(x)
+    variables = model.init(jax.random.key(0), x)
+    q = quantize_stofnet(variables, x)
+
+    alone = np.asarray(stofnet_apply_int8(q, x[:1], dtype=None))
+    together = np.asarray(stofnet_apply_int8(q, x, dtype=None))[:1]
+    np.testing.assert_array_equal(alone, together)
+
+
 def test_int8_no_sgb_variant_runs(rng):
     model = StofNet(semi_global_scale=1)
     x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
     variables = model.init(jax.random.key(0), x)
-    q = quantize_stofnet(variables, x, semi_global_scale=1)
+    q = quantize_stofnet(variables, x, semi_global_scale=1, quant_stack=True)
     out = stofnet_apply_int8(q, x, semi_global_scale=1, quant_stack=True)
     assert out.shape == (2, 1, 3200)
     assert np.isfinite(np.asarray(out)).all()
