@@ -54,7 +54,12 @@ def main():
     ckpt = Path(out["checkpoint"])
     log(f"trained-here checkpoint: {ckpt}")
 
-    rows = list(SWEEPS["chirp"]) + [["stofnet", ckpt.name, None]]
+    # trained-here quality row + the same checkpoint through the int8
+    # serving path (models/int8.py; CLI int8=True) as a quantized-quality row
+    rows = list(SWEEPS["chirp"]) + [
+        ["stofnet", ckpt.name, None],
+        ["stofnet", ckpt.name, None, {"int8": True}],
+    ]
     scfg = load_config(DEFAULT_CONFIG)
     scfg.update(data_dir=str(DATA), ckpt_dir=str(CKPTS), max_echoes=8,
                 seed=SEED, run_dir=str(REPO / "runs_chirp_sweep"),

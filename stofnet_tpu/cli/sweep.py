@@ -132,6 +132,9 @@ def format_table(results: List[Dict[str, Any]], latex: bool = False) -> str:
     for r in results:
         label = (CITATIONS.get(r["model"], r["model"]) if latex
                  else r["model"] + (f" ({r['ckpt']})" if r.get("ckpt") else ""))
+        if r.get("int8"):
+            # quantized serving row (models/int8.py via CLI int8=True)
+            label += " (int8)" if latex else " [int8]"
         if r.get("random_init"):
             label += "$^\\dagger$" if latex else " †"
         if "error" in r:

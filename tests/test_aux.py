@@ -308,6 +308,11 @@ def test_sweep_table_footnotes():
     md_clean = format_table(rows[:1])
     assert "†" not in md_clean  # no dagger section without random-init rows
 
+    # quantized-serving rows (CLI int8=True) are labelled in both formats
+    qrow = dict(rows[0], int8=True)
+    assert "stofnet (x) [int8]" in format_table([qrow])
+    assert "(int8)" in format_table([qrow], latex=True)
+
 
 def test_bench_shape_regression_not_retried(monkeypatch):
     """A deterministic output-shape regression must not be retried or

@@ -206,6 +206,28 @@ def test_int8_batch_composition_independence(rng):
     np.testing.assert_array_equal(alone, together)
 
 
+def test_int8_state_checkpoint_roundtrip(rng, tmp_path):
+    """The quantized serving state is a plain pytree of arrays, so it
+    round-trips through the standard checkpoint I/O (train/checkpoint.py)
+    — quantize/calibrate once, serve from disk — and the restored state
+    produces bit-identical outputs."""
+    from stofnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model = StofNet()
+    x = rng.standard_normal((2, 1, 800)).astype(np.float32)
+    x /= np.abs(x).max(axis=-1, keepdims=True)
+    x = jnp.asarray(x)
+    variables = model.init(jax.random.key(0), x)
+    q = quantize_stofnet(variables, x)
+
+    path = save_checkpoint(tmp_path / "q_int8", jax.tree.map(np.asarray, q))
+    q2 = load_checkpoint(path)
+    out = np.asarray(stofnet_apply_int8(q, x, dtype=None))
+    out2 = np.asarray(stofnet_apply_int8(
+        jax.tree.map(jnp.asarray, q2), x, dtype=None))
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_int8_no_sgb_variant_runs(rng):
     model = StofNet(semi_global_scale=1)
     x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
