@@ -344,3 +344,13 @@ def test_evaluate_int8_rejects_other_models(chirp_root, tmp_path):
                    max_echoes=8, int8=True)
     with pytest.raises(ValueError, match="int8"):
         run(cfg)
+
+
+def test_train_int8_rejected(chirp_root, tmp_path):
+    """int8 is a serving path: silently training full-precision under the
+    flag would be a footgun, so the driver errors up front."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="stofnet", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, int8=True)
+    with pytest.raises(ValueError, match="SERVING"):
+        run(cfg)
