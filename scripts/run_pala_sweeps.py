@@ -67,8 +67,11 @@ def main():
     # 2) both sweeps: reference rows + the trained-here row (the rat
     #    protocol's th=1/ch_gap=1/etol=2 arrive via SWEEP_OVERRIDES)
     for sweep_name, extra_row_th in (("pala", None), ("rat", 1.0)):
+        # trained-here quality row + the same ckpt through the int8 serving
+        # path (CLI int8=True) as a quantized-quality row
         rows = list(SWEEPS[sweep_name]) + [
-            ["stofnet", ckpt.name, extra_row_th]]
+            ["stofnet", ckpt.name, extra_row_th],
+            ["stofnet", ckpt.name, extra_row_th, {"int8": True}]]
         scfg = load_config(DEFAULT_CONFIG)
         scfg.update(data_dir=str(DATA), sequences=EVAL_SEQS,
                     ckpt_dir=str(CKPTS), max_echoes=8, seed=SEED,
