@@ -314,6 +314,22 @@ def test_sweep_table_footnotes():
     assert "(int8)" in format_table([qrow], latex=True)
 
 
+def test_bench_decoder_uses_ckpt_upsample():
+    """Every bench pipeline decodes with the CHECKPOINT's upsample factor
+    (import_stofnet reports it in overrides) — a non-x4 checkpoint must
+    yield coords in its own sample units, not x4's."""
+    import jax.numpy as jnp
+
+    import bench
+
+    heat = np.zeros((1, 1, 400), np.float32)
+    heat[0, 0, 100] = 1.0
+    for up in (2, 4):
+        dec = bench.make_decoder({"upsample_factor": up})
+        coords = np.asarray(dec(jnp.asarray(heat)))
+        assert coords.max() == pytest.approx(100 / up)
+
+
 def test_bench_shape_regression_not_retried(monkeypatch):
     """A deterministic output-shape regression must not be retried or
     re-exec'd (it would burn ~15 min of claim churn and bury the error)."""
