@@ -241,3 +241,27 @@ def test_toa_rmse_fuzz_matches_reference(seed):
         np.testing.assert_allclose(
             ours, ref, rtol=1e-5, atol=1e-5, equal_nan=True,
             err_msg=f"seed={seed} b={b} g={g} e={e} tol={tol}")
+
+
+def test_mask2coords_single_channel_truncation_ref_crashes(rng):
+    """Reference bug our decoder fixes (found by randomized differential
+    fuzzing, r3): the reference's echo_max truncation calls
+    get_amplitudes, which `squeeze()`s the channel dim
+    (utils/mask2samples.py:137) — a SINGLE-channel item with more
+    detections than echo_max therefore crashes upstream with a gather
+    rank mismatch. Our static-slot decoder truncates fine; assert both
+    behaviors so the divergence is on record (the reference driver never
+    hits it because it decodes the whole batch as channels and omits
+    echo_max at main.py:226)."""
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    hm = make_heatmap(rng, b=1, l=256, peaks=8)
+    ours = np.asarray(mask2coords(jnp.asarray(hm), window_size=7,
+                                  threshold=0.5, upsample_factor=1,
+                                  max_echoes=4))
+    assert ours.shape == (1, 4)
+    assert (ours > 0).sum() == 4  # truncated to the 4 strongest
+
+    with pytest.raises(RuntimeError):
+        ref_mask2coords(torch.from_numpy(hm[:, 0, :]), window_size=7,
+                        threshold=0.5, upsample_factor=1, echo_max=4)
