@@ -265,3 +265,35 @@ def test_mask2coords_single_channel_truncation_ref_crashes(rng):
     with pytest.raises(RuntimeError):
         ref_mask2coords(torch.from_numpy(hm[:, 0, :]), window_size=7,
                         threshold=0.5, upsample_factor=1, echo_max=4)
+
+
+def test_mask2coords_ragged_truncation_phantom_amplitudes():
+    """Second reference truncation bug found by the r3 differential fuzz:
+    with RAGGED per-channel detection counts, the reference pads short
+    channels' coord rows with zeros BEFORE amplitude ranking, and
+    get_amplitudes then reads those padding slots' amplitudes from
+    position 0 of the raw frame (utils/mask2samples.py:100-107,137). A
+    large raw value at sample 0 gives every phantom slot that amplitude,
+    and reduce_echoes evicts GENUINE echoes in its favor. Our static-slot
+    decoder ranks by the actual suppressed scores with empty slots at
+    -inf, so real detections always win. (The reference driver never
+    passes echo_max at main.py:226/320, so its own benchmark avoids the
+    path; any user who does hit it silently loses echoes.)"""
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    L = 64
+    x = np.zeros((2, L), np.float32)
+    x[0, [10, 20, 30, 40]] = [1.5, 1.6, 1.7, 1.8]  # ragged-count driver
+    x[1, 0] = 5.0   # phantom amplitude source (NMS-suppressed by 5.5)
+    x[1, 1] = 5.5
+    x[1, [10, 20]] = [1.2, 1.3]
+
+    ref = ref_mask2coords(torch.from_numpy(x.copy()), 5, 1.0, 1,
+                          echo_max=2).numpy()
+    ours = np.asarray(mask2coords(jnp.asarray(x), window_size=5,
+                                  threshold=1.0, upsample_factor=1,
+                                  max_echoes=2))
+    ref_ch1 = sorted(v for v in ref[1].tolist() if v > 0)
+    ours_ch1 = sorted(v for v in ours[1].tolist() if v > 0)
+    assert ours_ch1 == [1.0, 20.0]  # the two strongest GENUINE echoes
+    assert ref_ch1 == [1.0]         # the reference evicted echo 20
