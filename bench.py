@@ -608,13 +608,11 @@ def train_bench() -> None:
 
     from stofnet_tpu.models import StofNet
 
-    model = StofNet(dtype=jnp.bfloat16, **overrides)
+    model = StofNet(**overrides)  # dtype=None: amp decides the precision
     cfg = LossConfig(upsample_factor=overrides.get("upsample_factor", 4),
                      max_echoes=8)
     optimizer, _ = make_optimizer(lr=5e-4, weight_decay=1e-8, epochs=80,
                                   steps_per_epoch=100)
-    train_step = make_train_step(model, optimizer, cfg)
-    state = init_train_state(variables, optimizer, seed=0)
 
     k = 20
     key = jax.random.key(0)
@@ -628,44 +626,61 @@ def train_bench() -> None:
     gt_true = jnp.round(gt[:, :, None, :] * cfg.upsample_factor
                         ).astype(jnp.int32)
 
-    @jax.jit
-    def run_steps(state, xs, gt, gt_true):
-        def body(st, inp):
-            xb, g, gtr = inp
-            st, aux = train_step(st, xb, g, gtr)
-            return st, aux["loss"]
+    def measure(amp: bool):
+        """best-of-3 ms/step for one precision recipe (f32 parity vs
+        bf16-AMP with f32 master weights, train/steps.py make_train_step)."""
+        train_step = make_train_step(model, optimizer, cfg, amp=amp)
+        state = init_train_state(variables, optimizer, seed=0)
 
-        return jax.lax.scan(body, state, (xs, gt, gt_true))
+        @jax.jit
+        def run_steps(state, xs, gt, gt_true):
+            def body(st, inp):
+                xb, g, gtr = inp
+                st, aux = train_step(st, xb, g, gtr)
+                return st, aux["loss"]
 
-    (state1, losses) = run_steps(state, xs, gt, gt_true)
-    losses = fetch(lambda: np.asarray(losses),
-                   "train warmup")  # compile + warm + fetch-sync
-    best = float("inf")
-    ok = 0
-    for i in range(3):  # same per-iteration tolerance as sustained_wf_s
-        try:
-            t0 = time.perf_counter()
-            _, ls = run_steps(state, xs, gt, gt_true)
-            np.asarray(ls)
-            best = min(best, time.perf_counter() - t0)
-            ok += 1
-        except Exception as e:  # noqa: BLE001 - drop the iteration, keep best
-            log(f"train timing iteration {i + 1}/3 failed "
-                f"({type(e).__name__}: {str(e)[:120]})")
-            time.sleep(FETCH_BACKOFF_S)
-    if not ok:
-        raise RuntimeError("all train timing iterations failed")
-    wf_s = BATCH * k / best
-    log(f"train step B={BATCH} k={k}: {best / k * 1e3:.2f} ms/step -> "
-        f"{wf_s:.1f} wf/s, loss[0]={losses[0]:.4f} -> loss[-1]={losses[-1]:.4f}")
-    assert np.isfinite(losses).all()
+            return jax.lax.scan(body, state, (xs, gt, gt_true))
+
+        _, losses = run_steps(state, xs, gt, gt_true)
+        losses = fetch(lambda: np.asarray(losses),
+                       f"train warmup amp={amp}")  # compile + warm + sync
+        best = float("inf")
+        ok = 0
+        for i in range(3):  # same per-iteration tolerance as sustained_wf_s
+            try:
+                t0 = time.perf_counter()
+                _, ls = run_steps(state, xs, gt, gt_true)
+                np.asarray(ls)
+                best = min(best, time.perf_counter() - t0)
+                ok += 1
+            except Exception as e:  # noqa: BLE001 - drop iteration, keep best
+                log(f"train timing iteration {i + 1}/3 (amp={amp}) failed "
+                    f"({type(e).__name__}: {str(e)[:120]})")
+                time.sleep(FETCH_BACKOFF_S)
+        if not ok:
+            raise RuntimeError(f"all train timing iterations failed "
+                               f"(amp={amp})")
+        assert np.isfinite(losses).all()
+        wf_s = BATCH * k / best
+        log(f"train step amp={amp} B={BATCH} k={k}: "
+            f"{best / k * 1e3:.2f} ms/step -> {wf_s:.1f} wf/s, "
+            f"loss[0]={losses[0]:.4f} -> loss[-1]={losses[-1]:.4f}")
+        return wf_s, best / k * 1e3
+
+    f32_wf_s, f32_ms = measure(amp=False)   # the reference parity recipe
+    amp_wf_s, amp_ms = measure(amp=True)    # bf16 compute, f32 master
+    wf_s, ms, recipe = ((amp_wf_s, amp_ms, "amp")
+                        if amp_wf_s >= f32_wf_s else (f32_wf_s, f32_ms, "f32"))
     print(json.dumps({
         "metric": "stofnet_train_throughput",
         "value": round(wf_s, 1),
         "unit": f"waveforms/s/chip training (B={BATCH}, L={LENGTH}, "
                 "fwd+bwd+AdamW)",
         "vs_baseline": round(wf_s / BASELINE_WF_S, 2),
-        "ms_per_step": round(best / k * 1e3, 2),
+        "ms_per_step": round(ms, 2),
+        "recipe": recipe,
+        "train_f32_wf_s": round(f32_wf_s, 1),
+        "train_amp_wf_s": round(amp_wf_s, 1),
     }))
 
 

@@ -73,19 +73,50 @@ class LossConfig(NamedTuple):
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
-                    cfg: LossConfig, remat: bool = False):
+                    cfg: LossConfig, remat: bool = False, amp: bool = False):
     """Build a jittable (state, frame, gt_sample, gt_true) -> (state, aux).
 
     ``remat=True`` rematerializes the forward pass in the backward sweep
     (jax.checkpoint), trading FLOPs for activation memory — lets the
     SemiGlobalBlock's (B, L, 512) pre-pool activation drop out of the
     training footprint at large batch.
+
+    ``amp=True`` runs the forward AND backward sweeps in bfloat16 (double
+    MXU throughput, half the activation HBM traffic) while keeping f32
+    master weights, f32 loss/metrics, and an f32 AdamW state — the
+    standard TPU mixed-precision recipe. bf16 shares f32's exponent range
+    so no loss scaling is needed (unlike fp16 AMP on the reference's CUDA
+    targets). The cast happens INSIDE the differentiated function, so
+    cotangents flow back through it and ``jax.grad`` yields f32 gradients
+    against the f32 master params; BatchNorm running stats are cast back
+    to f32 so eval/checkpoint state is amp-invariant. Works for the whole
+    zoo, model-agnostic (no per-module dtype plumbing needed).
     """
     kernel = gaussian_kernel(cfg.kernel_size, cfg.sigma)
 
+    def _bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if getattr(x, "dtype", None) == jnp.float32 else x, tree)
+
+    def _f32(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if getattr(x, "dtype", None) == jnp.bfloat16 else x, tree)
+
     def forward(variables, rng, frame):
-        return model.apply(variables, frame, train=True,
-                           rngs={"dropout": rng}, mutable=["batch_stats"])
+        if amp:
+            variables = {"params": _bf16(variables["params"]),
+                         **{k: v for k, v in variables.items()
+                            if k != "params"}}
+            frame = frame.astype(jnp.bfloat16)
+        pred, updated = model.apply(variables, frame, train=True,
+                                    rngs={"dropout": rng},
+                                    mutable=["batch_stats"])
+        if amp:
+            pred = pred.astype(jnp.float32)
+            updated = _f32(dict(updated))
+        return pred, updated
 
     if remat:
         forward = jax.checkpoint(forward)

@@ -124,6 +124,23 @@ def test_evaluate_pala_gradpeak(pala_root, tmp_path):
     assert np.isfinite(out["total_distance_mean"])
 
 
+def test_train_amp_e2e(chirp_root, tmp_path):
+    """amp=True trains through the CLI driver (bf16 fwd/bwd, f32 master
+    weights — train/steps.py make_train_step) and the resulting f32
+    checkpoint evaluates through the normal path."""
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="stofnet", epochs=1,
+                   rf_scale_factor=4, max_echoes=8, amp=True)
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    ckpt_name = Path(out["checkpoint"]).name
+    cfg2 = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                    batch_size=2, model="stofnet", model_file=ckpt_name,
+                    rf_scale_factor=4, max_echoes=8, th=None)
+    out2 = run(cfg2)
+    assert np.isfinite(out2["val_loss"])
+
+
 def test_train_resume(chirp_root, tmp_path):
     """Mid-run resume restores params + optimizer state + epoch counter."""
     cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,

@@ -158,3 +158,85 @@ def test_deterministic_model_train_step_unchanged(rng):
     new_state, aux = step(state, frame, gt, gt_true)
     assert np.isfinite(float(aux["loss"]))
     assert new_state.batch_stats == {}
+
+
+class TestAmp:
+    """bf16 mixed-precision training (make_train_step amp=True): bf16
+    forward/backward, f32 master weights + loss + AdamW state. The
+    reference has no AMP path (pure f32 torch, main.py:198-289); this is
+    the standard TPU recipe (bf16 shares f32's exponent range, so unlike
+    CUDA fp16 AMP no loss scaling is involved)."""
+
+    def _steps(self, model, variables, cfg, n, rng, amp, remat=False,
+               length=800, up=4):
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+        step = make_train_step(model, optimizer, cfg, amp=amp, remat=remat)
+        state = init_train_state(variables, optimizer)
+        losses = []
+        for _ in range(n):
+            frame, gt, gt_true = _train_data(rng, length=length, up=up)
+            state, aux = step(state, frame, gt, gt_true)
+            losses.append(float(aux["loss"]))
+        return state, losses
+
+    def test_stofnet_amp_trains_close_to_f32(self, rng):
+        """State stays f32 end to end; the amp loss trajectory tracks the
+        f32 one (same data stream) to bf16 tolerance and both decrease."""
+        from stofnet_tpu.models import StofNet
+
+        model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+
+        s_f32, l_f32 = self._steps(model, variables, cfg, 8,
+                                   np.random.default_rng(0), amp=False)
+        s_amp, l_amp = self._steps(model, variables, cfg, 8,
+                                   np.random.default_rng(0), amp=True)
+
+        assert all(np.isfinite(l_amp))
+        # master weights and optimizer state never leave f32
+        for leaf in jax.tree.leaves(s_amp.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(s_amp.opt_state):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32
+        # same-stream trajectories agree to mixed-precision tolerance
+        np.testing.assert_allclose(l_amp, l_f32, rtol=0.05, atol=5e-3)
+        assert l_amp[-1] < l_amp[0] and l_f32[-1] < l_f32[0]
+
+    def test_bn_model_amp_keeps_f32_stats(self, rng):
+        """BatchNorm running statistics come back f32 under amp (eval and
+        checkpoints are amp-invariant), and they actually update."""
+        length = 800
+        model = Kuleshov(input_length=length, output_length=length * 4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        state, losses = self._steps(model, variables, cfg, 2, rng, amp=True)
+
+        assert all(np.isfinite(losses))
+        stats = jax.tree.leaves(state.batch_stats)
+        assert stats and all(s.dtype == jnp.float32 for s in stats)
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(variables["batch_stats"]), stats))
+        assert changed
+        # the amp-trained state evaluates through the normal f32 eval step
+        ev = make_eval_step(model, cfg)
+        frame, gt, gt_true = _train_data(rng, length=length)
+        out = ev(state_variables(state), frame, gt, gt_true)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_amp_composes_with_remat(self, rng):
+        """jax.checkpoint wraps the bf16 forward: identical losses."""
+        from stofnet_tpu.models import StofNet
+
+        model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        _, plain = self._steps(model, variables, cfg, 3,
+                               np.random.default_rng(1), amp=True)
+        _, remat = self._steps(model, variables, cfg, 3,
+                               np.random.default_rng(1), amp=True,
+                               remat=True)
+        np.testing.assert_allclose(plain, remat, rtol=1e-6)
