@@ -105,6 +105,54 @@ def test_sharded_train_step_matches_single_device(setup):
     assert diff.max() < 2 * 5e-4  # bounded by the Adam step size
 
 
+def test_sharded_amp_train_step_matches_single_device(setup):
+    """amp=True under the dp×sp mesh: bf16 forward/backward shards like
+    f32 (GSPMD partitions the casts with the ops), and the mesh step
+    agrees with the single-device amp step to the same Adam-amplified
+    tolerance as the f32 test above."""
+    model, variables, frame = setup
+    up = 4
+    rng = np.random.default_rng(1)
+    gt_sample = rng.uniform(5, frame.shape[-1] - 5,
+                            size=(8, 1)).astype(np.float32)
+    gt_true = np.round(gt_sample[:, :, None] * up).astype(np.int32)
+
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    cfg = LossConfig(upsample_factor=up)
+    train_step = make_train_step(model, optimizer, cfg, amp=True)
+    state = init_train_state(variables, optimizer)
+
+    s1, aux1 = train_step(state, jnp.asarray(frame), jnp.asarray(gt_sample),
+                          jnp.asarray(gt_true))
+
+    mesh = make_mesh(dp=4, sp=2)
+    rep = replicate(mesh)
+    state_sh = jax.tree.map(lambda _: rep, state)
+    fsh = batch_seq_sharding(mesh, 3, seq_axis=2)
+    gssh = NamedSharding(mesh, P("dp", None))
+    gtsh = NamedSharding(mesh, P("dp", None, None))
+    step_jit = jax.jit(train_step, in_shardings=(state_sh, fsh, gssh, gtsh))
+    s2, aux2 = step_jit(
+        jax.device_put(state, state_sh),
+        jax.device_put(jnp.asarray(frame), fsh),
+        jax.device_put(jnp.asarray(gt_sample), gssh),
+        jax.device_put(jnp.asarray(gt_true), gtsh),
+    )
+
+    # bf16 reductions are more order-sensitive than f32: same structure
+    # of tolerance, loosened to bf16 epsilon scale
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-2)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s1.params)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s2.params)])
+    assert a.dtype == np.float32 and b.dtype == np.float32
+    diff = np.abs(a - b)
+    assert np.mean(diff < 1e-4) > 0.99, f"agree {np.mean(diff < 1e-4)}"
+    assert diff.max() < 2 * 5e-4  # bounded by the Adam step size
+
+
 def test_eval_step_runs(setup):
     model, variables, frame = setup
     cfg = LossConfig(upsample_factor=4, max_echoes=8)
