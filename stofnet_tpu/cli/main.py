@@ -661,6 +661,16 @@ def run(cfg: Config) -> Dict[str, Any]:
         raise ValueError("int8=True is a SERVING path (evaluate=True only):"
                          " training runs full-precision — drop the flag or"
                          " add evaluate=True")
+    if cfg.get("compile_cache"):
+        # persistent XLA compilation cache: serving/eval restarts skip the
+        # 20-60 s first-jit compile (the reference's torch has no compile
+        # step to cache; under jit ours is the cold-start cost that
+        # matters in production). Must be set before the first compile.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          str(cfg.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ctx = setup(cfg)
     import jax
 

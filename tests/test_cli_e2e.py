@@ -124,6 +124,21 @@ def test_evaluate_pala_gradpeak(pala_root, tmp_path):
     assert np.isfinite(out["total_distance_mean"])
 
 
+def test_compile_cache_populates(chirp_root, tmp_path):
+    """compile_cache=DIR turns on jax's persistent compilation cache
+    (production cold-start: restarts skip the first-jit compile). The
+    eval run must succeed and leave serialized executables in the dir."""
+    cache = tmp_path / "xla_cache"
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   batch_size=4, model="stofnet", epochs=1,
+                   rf_scale_factor=4, max_echoes=8,
+                   compile_cache=str(cache))
+    out = run(cfg)
+    assert np.isfinite(out["val_loss"])
+    entries = list(cache.glob("*")) if cache.exists() else []
+    assert entries, "compilation cache dir is empty after a jitted run"
+
+
 def test_train_amp_e2e(chirp_root, tmp_path):
     """amp=True trains through the CLI driver (bf16 fwd/bwd, f32 master
     weights — train/steps.py make_train_step) and the resulting f32
