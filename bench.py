@@ -523,6 +523,35 @@ def oom_train_demo(variables, overrides, failure_summary):
             results[f"xla_train_b{bt}"] = failure_summary(e)
         log(f"xla train B={bt}: {results[f'xla_train_b{bt}']}")
 
+        if "ok" not in results[f"xla_train_b{bt}"]:
+            # honesty key: gradient accumulation (train/steps.py accum=N,
+            # 128-waveform micro-batches) is the plain-XLA production
+            # answer to the same memory cliff — record whether it trains
+            # at this batch and its step time
+            try:
+                acc = max(2, bt // 128)
+                accum_step = make_train_step(model, optimizer, cfg,
+                                             accum=acc)
+                state = init_train_state(variables, optimizer)
+                state, aux = accum_step(state, xb, jnp.zeros((bt, 2)),
+                                        gt_true)
+                loss = float(aux["loss"])  # compile + fetch-sync
+                assert np.isfinite(loss), f"non-finite accum loss {loss}"
+                t0 = time.perf_counter()
+                state, aux = accum_step(state, xb, jnp.zeros((bt, 2)),
+                                        gt_true)
+                loss = float(aux["loss"])
+                ms = (time.perf_counter() - t0) * 1e3
+                results[f"xla_accum{acc}_train_b{bt}"] = (
+                    f"ok (loss {loss:.4f})")
+                results[f"xla_accum{acc}_train_b{bt}_ms_per_step"] = (
+                    round(ms, 1))
+                log(f"xla accum={acc} train B={bt}: ok, {ms:.1f} ms/step")
+            except Exception as e:
+                results[f"xla_accum{acc}_train_b{bt}"] = failure_summary(e)
+                log(f"xla accum={acc} train B={bt}: "
+                    f"{results[f'xla_accum{acc}_train_b{bt}']}")
+
         try:
             params = variables["params"]
             opt_state = optimizer.init(params)

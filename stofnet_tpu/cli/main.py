@@ -511,7 +511,8 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         epochs=int(cfg.epochs), steps_per_epoch=max(1, len(train_loader)))
     train_step = make_train_step(ctx["model"], optimizer, lcfg,
                                  remat=bool(cfg.get("remat", False)),
-                                 amp=bool(cfg.get("amp", False)))
+                                 amp=bool(cfg.get("amp", False)),
+                                 accum=int(cfg.get("accum", 1) or 1))
     eval_step = make_eval_step(ctx["model"], lcfg)
 
     state = init_train_state(ctx["variables"], optimizer, seed=int(cfg.seed))

@@ -73,8 +73,13 @@ class LossConfig(NamedTuple):
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
-                    cfg: LossConfig, remat: bool = False, amp: bool = False):
+                    cfg: LossConfig, remat: bool = False, amp: bool = False,
+                    accum: int = 1):
     """Build a jittable (state, frame, gt_sample, gt_true) -> (state, aux).
+
+    ``accum=N`` splits the batch into N sequential micro-batches and
+    averages their gradients before the single optimizer update (see the
+    inline comment in ``train_step`` for semantics and memory behavior).
 
     ``remat=True`` rematerializes the forward pass in the backward sweep
     (jax.checkpoint), trading FLOPs for activation memory — lets the
@@ -137,12 +142,50 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             )
         return loss, dict(updated.get("batch_stats", {}))
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @jax.jit
     def train_step(state: TrainState, frame, gt_sample, gt_true):
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, batch_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, rng,
-                                   frame, gt_sample, gt_true)
+        if accum <= 1:
+            (loss, batch_stats), grads = grad_fn(
+                state.params, state.batch_stats, rng,
+                frame, gt_sample, gt_true)
+        else:
+            # gradient accumulation: lax.scan over micro-batches keeps ONE
+            # micro-batch's activations live at a time (the accumulator is
+            # params-sized, negligible next to the SGB's (B, L, 512)), so
+            # effective batch scales far past the single-pass memory cliff
+            # (the production alternative to the fused-SGB kernel,
+            # docs/DESIGN.md). Exact for batch-mean losses: averaging
+            # micro-batch gradients equals the full-batch gradient up to
+            # reduction order. BatchNorm stats chain sequentially (same
+            # semantics as N consecutive small batches); dropout draws a
+            # distinct stream per micro-batch.
+            if frame.shape[0] % accum:
+                raise ValueError(f"batch {frame.shape[0]} not divisible by "
+                                 f"accum={accum}")
+
+            def split(x):
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            def body(carry, inp):
+                stats, gsum, lsum, i = carry
+                f, gs, gtr = inp
+                (l, stats), g = grad_fn(state.params, stats,
+                                        jax.random.fold_in(rng, i),
+                                        f, gs, gtr)
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (stats, gsum, lsum + l, i + 1), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (batch_stats, gsum, lsum, _), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_g, jnp.zeros((), jnp.float32),
+                 jnp.zeros((), jnp.int32)),
+                (split(frame), split(gt_sample), split(gt_true)))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

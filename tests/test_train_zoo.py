@@ -240,3 +240,88 @@ class TestAmp:
                                np.random.default_rng(1), amp=True,
                                remat=True)
         np.testing.assert_allclose(plain, remat, rtol=1e-6)
+
+
+class TestAccum:
+    """Gradient accumulation (make_train_step accum=N): N sequential
+    micro-batches, one averaged optimizer update — the production answer
+    to the single-pass activation-memory cliff (docs/DESIGN.md; the
+    reference trains at batch 4 and has no equivalent)."""
+
+    def test_accum_matches_full_batch(self, rng):
+        """For a deterministic (BN/dropout-free) model with a batch-mean
+        loss, averaged micro-batch gradients equal the full-batch
+        gradient: post-update params agree to reduction-order tolerance."""
+        from stofnet_tpu.models import StofNet
+
+        model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+        frame, gt, gt_true = _train_data(rng, batch=8)
+
+        s_full, a_full = make_train_step(model, optimizer, cfg)(
+            init_train_state(variables, optimizer), frame, gt, gt_true)
+        s_acc, a_acc = make_train_step(model, optimizer, cfg, accum=4)(
+            init_train_state(variables, optimizer), frame, gt, gt_true)
+
+        np.testing.assert_allclose(float(a_acc["loss"]),
+                                   float(a_full["loss"]), rtol=1e-5)
+        a = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_full.params)])
+        b = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_acc.params)])
+        diff = np.abs(a - b)
+        # near-zero-gradient elements can take Adam-amplified ±lr flips
+        # from f32 reduction-order changes (see the mesh test's note)
+        assert np.mean(diff < 1e-5) > 0.999, f"agree {np.mean(diff < 1e-5)}"
+        assert diff.max() < 2 * 5e-4
+
+    def test_accum_bn_model_chains_stats(self, rng):
+        """BatchNorm models accumulate: stats chain through the scan like
+        N consecutive small batches, loss finite, params update."""
+        length = 800
+        model = Kuleshov(input_length=length, output_length=length * 4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, length)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+        step = make_train_step(model, optimizer, cfg, accum=2)
+        state = init_train_state(variables, optimizer)
+        frame, gt, gt_true = _train_data(rng, batch=4, length=length)
+        new_state, aux = step(state, frame, gt, gt_true)
+        assert np.isfinite(float(aux["loss"]))
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(state.batch_stats),
+                            jax.tree.leaves(new_state.batch_stats)))
+        assert changed
+
+    def test_accum_indivisible_batch_rejected(self, rng):
+        from stofnet_tpu.models import ESPCN1D
+
+        model = ESPCN1D(upscale_factor=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        step = make_train_step(model, optimizer, cfg, accum=3)
+        state = init_train_state(variables, optimizer)
+        frame, gt, gt_true = _train_data(rng, batch=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, frame, gt, gt_true)
+
+    def test_accum_composes_with_amp_and_remat(self, rng):
+        """accum=2 amp=True remat=True trains and stays f32-stated."""
+        from stofnet_tpu.models import StofNet
+
+        model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+        step = make_train_step(model, optimizer, cfg, accum=2, amp=True,
+                               remat=True)
+        state = init_train_state(variables, optimizer)
+        frame, gt, gt_true = _train_data(rng, batch=4)
+        new_state, aux = step(state, frame, gt, gt_true)
+        assert np.isfinite(float(aux["loss"]))
+        for leaf in jax.tree.leaves(new_state.params):
+            assert leaf.dtype == jnp.float32
