@@ -434,10 +434,34 @@ def oom_demo():
                                               fused_stack=False, **overrides))
 
         c = np.asarray(pipe_fused(variables, x))
+        t0 = time.perf_counter()
+        c = np.asarray(pipe_fused(variables, x))
+        ms = (time.perf_counter() - t0) * 1e3
         results["pallas_b2048"] = f"ok ({c.shape})"
+        results["pallas_b2048_ms"] = round(ms, 1)
     except Exception as e:
         results["pallas_b2048"] = failure_summary(e)
     log(f"pallas B={big}: {results['pallas_b2048']}")
+
+    # honesty key: micro-batched plain XLA (lax.map over 128-waveform
+    # chunks) only ever materializes one chunk's (128, L, 512) pre-pool
+    # tensor — the boring production answer to the inference cliff; the
+    # fused kernel must beat THIS, not just the single-pass OOM
+    try:
+        @jax.jit
+        def pipe_chunked(v, xb):
+            chunks = xb.reshape((big // BATCH, BATCH) + xb.shape[1:])
+            return jax.lax.map(lambda c: pipe_xla(v, c), chunks)
+
+        c = np.asarray(pipe_chunked(variables, x))
+        t0 = time.perf_counter()
+        c = np.asarray(pipe_chunked(variables, x))
+        ms = (time.perf_counter() - t0) * 1e3
+        results["xla_chunked_b2048"] = f"ok ({c.reshape(big, -1).shape})"
+        results["xla_chunked_b2048_ms"] = round(ms, 1)
+    except Exception as e:
+        results["xla_chunked_b2048"] = failure_summary(e)
+    log(f"xla chunked B={big}: {results['xla_chunked_b2048']}")
 
     # int8-SGB XLA path: the s8 pre-pool tensor is 8.4 GB instead of bf16's
     # 16.8, so plain XLA may clear the memory cliff too (models/int8.py)
