@@ -208,6 +208,120 @@ for trial in range(40):
     if not np.array_equal(ours, ref):
         report("shuffle", f"trial {trial} r={r} C={C}")
 
+# ---- heatmap loss (main.py:224-232 recipe) ----
+import torch.nn.functional as F
+
+from utils.gaussian import gaussian_kernel as ref_gauss
+from utils.mask2samples import coords2mask as ref_coords2mask
+
+from stofnet_tpu.train.loss import heatmap_loss
+
+for trial in range(80):
+    runs += 1
+    b = int(rng.integers(1, 5))
+    up = int(rng.choice([1, 2, 4, 8]))
+    l_out = int(rng.integers(24, 200)) * up
+    ks = int(rng.choice([3, 5, 7, 11]))
+    sigma = float(rng.uniform(0.5, 3.0))
+    amp = float(rng.uniform(1.0, 40.0))
+    lam = float(rng.choice([0.0, 1e-3, 1e-2, 0.5]))
+    n_gt = int(rng.integers(1, 4))
+    pred = rng.standard_normal((b, 1, l_out)).astype(np.float32)
+    gt_sample = rng.uniform(2, l_out // up - 2, size=(b, n_gt)).astype(
+        np.float32)
+    gt_true = np.round(gt_sample[:, None, :] * up).astype(np.int64)
+
+    ours_loss, _ = heatmap_loss(
+        jnp.asarray(pred), jnp.asarray(gt_true), kernel_size=ks,
+        sigma=sigma, mask_amplitude=amp, lambda_value=lam)
+
+    tp = torch.from_numpy(pred)
+    k = torch.tensor(ref_gauss(ks, sigma), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, l_out))
+    blur = F.conv1d(masks_true, k, padding=ks // 2)
+    blur = blur / blur.max() * amp
+    ref_loss = (F.mse_loss(tp.squeeze(1), blur.squeeze(1))
+                + lam * tp.squeeze(1).abs().mean())
+    if not np.isclose(float(ours_loss), float(ref_loss), rtol=1e-4):
+        report("heatmap_loss",
+               f"trial {trial}: ours {float(ours_loss)} vs ref "
+               f"{float(ref_loss)} (ks={ks} sigma={sigma:.2f} amp={amp:.1f} "
+               f"lam={lam})")
+
+# ---- find_threshold (ideal ROC threshold, both norm modes) ----
+from utils.threshold import find_threshold as ref_find_threshold
+
+from stofnet_tpu.train.threshold import find_threshold
+
+for trial in range(60):
+    runs += 1
+    b = int(rng.integers(1, 4))
+    l = int(rng.integers(40, 400))
+    norm_opt = bool(rng.random() < 0.5)
+    pred = rng.standard_normal((b, 1, l)).astype(np.float32)
+    masks_true = np.zeros((b, 1, l), np.float32)
+    n_pos = int(rng.integers(0, 9))
+    if n_pos:
+        eb = int(rng.integers(0, b))
+        pos = rng.choice(l, size=min(n_pos, l), replace=False)
+        masks_true[eb, 0, pos] = float(rng.choice([1.0, 2.0]))
+        if rng.random() < 0.8:
+            pred[eb, 0, pos] += rng.uniform(0.5, 3.0)
+    ours = find_threshold(pred, masks_true, norm_opt=norm_opt)
+    ref = float(ref_find_threshold(torch.from_numpy(pred.copy()),
+                                   torch.from_numpy(masks_true),
+                                   window_size=20, norm_opt=norm_opt))
+    ours = float(ours)
+    if not (np.isclose(ours, ref, rtol=1e-4, atol=1e-8)
+            or (np.isinf(ours) and np.isinf(ref))
+            or (np.isnan(ours) and np.isnan(ref))):
+        report("find_threshold",
+               f"trial {trial}: ours {ours} vs ref {ref} "
+               f"(norm={norm_opt} n_pos={n_pos})")
+
+# ---- gradpeak hysteresis pairing (random echo layouts) ----
+from models.gradpeak import grad_peak_detect as ref_gpd
+from utils.hilbert import hilbert_transform as ref_hil
+
+from stofnet_tpu.ops.gradpeak import grad_peak_detect
+
+for trial in range(40):
+    runs += 1
+    l = int(rng.integers(900, 4000))
+    n_echo = int(rng.integers(1, 6))
+    pos = np.sort(rng.choice(np.arange(150, l - 150), n_echo, replace=False))
+    t = np.arange(l)
+    x = np.zeros(l, np.float32)
+    for p in pos:
+        a = 0.3 + 0.7 * rng.random()
+        w = 15 + 40 * rng.random()
+        x += a * np.exp(-0.5 * ((t - p) / w) ** 2) * np.sin(
+            2 * np.pi * t / (30 + 20 * rng.random()))
+    x += 0.01 * rng.standard_normal(l).astype(np.float32)
+    x = x[None].astype(np.float32)
+    gs = int(rng.choice([3, 4, 5, 8, 12]))
+    th = float(rng.choice([0.01, 0.02, 0.05, 0.1, 0.2]))
+    smin = int(rng.integers(2, 12))
+    smax = int(rng.integers(30, 260))
+
+    env_t = torch.abs(ref_hil(torch.from_numpy(x)))
+    ref = ref_gpd(env_t, grad_step=gs, threshold=th, ival_smin=smin,
+                  ival_smax=smax).numpy()
+    ref_pairs = (sorted(map(tuple, ref[0][ref[0][:, 1] > 0][:, :2]
+                            .astype(int))) if ref.size else [])
+    env = np.abs(ref_hil(torch.from_numpy(x)).numpy())
+    me = min(1024, (l - gs) // 2)  # top_k k must fit the gradient row
+    ours = np.asarray(grad_peak_detect(
+        jnp.asarray(env), grad_step=gs, threshold=th, ival_smin=smin,
+        ival_smax=smax, max_echoes=256, max_edges=me))
+    our_pairs = sorted(map(tuple,
+                           ours[0][ours[0][:, 1] > 0][:, :2].astype(int)))
+    if our_pairs != ref_pairs:
+        report("gradpeak",
+               f"trial {trial} l={l} gs={gs} th={th} ival=({smin},{smax}): "
+               f"ours={our_pairs[:6]} ref={ref_pairs[:6]}")
+
 print(f"done: {runs} trials, {fails} mismatches, "
       f"{skipped_ref_bugs} known-reference-bug rows skipped")
 sys.exit(1 if fails else 0)

@@ -158,17 +158,25 @@ def main():
             results[nm] = f"{type(e).__name__}: {str(e)[:80]}"
             log(f"{nm} FAILED {results[nm]}")
 
-    for name, mdl, vs, remat in [
-        ("train_full", model, variables, False),
-        ("train_window", model_window, variables, False),
-        ("train_nosgb", model_nosgb, v_nosgb, False),
-        ("train_remat", model, variables, True),
+    for name, mdl, vs, remat, amp in [
+        ("train_full", model, variables, False, False),
+        ("train_window", model_window, variables, False, False),
+        ("train_nosgb", model_nosgb, v_nosgb, False, False),
+        ("train_remat", model, variables, True, False),
+        # f32-module rows isolate the amp effect (the rows above carry
+        # module dtype=bf16 forward compute already; amp also runs the
+        # BACKWARD in bf16 with f32 master weights, train/steps.py)
+        ("train_f32", StofNet(), variables, False, False),
+        ("train_amp", StofNet(), variables, False, True),
+        ("train_amp_nosgb", StofNet(semi_global_scale=1), v_nosgb,
+         False, True),
     ]:
         try:
             ctx = (window_pool_sgb() if name == "train_window"
                    else contextlib.nullcontext())
             with ctx:
-                step = make_train_step(mdl, optimizer, cfg, remat=remat)
+                step = make_train_step(mdl, optimizer, cfg, remat=remat,
+                                       amp=amp)
                 state = init_train_state(vs, optimizer)
                 ms = timed_steps(step, state)
             results[name] = round(ms, 2)
