@@ -1,0 +1,82 @@
+"""Export the serving pipeline to a self-contained StableHLO artifact.
+
+No reference equivalent (the torch reference serves eagerly from python,
+main.py:291-347); see ``stofnet_tpu/serve.py`` for the design. Usage::
+
+    python -m stofnet_tpu.cli.export model_file=different-armadillo \
+        out=stofnet_b128.jaxexp batch=128 length=8000 [th=Null]
+        [ckpt_dir=...] [platforms=cpu,tpu] [max_echoes=64] [window_size=20]
+
+The artifact bakes the checkpoint's weights in; serve it with::
+
+    from stofnet_tpu.serve import load_pipeline
+    coords = load_pipeline("stofnet_b128.jaxexp")(x)   # x: (B, 1, L) f32
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
+    args: Dict[str, Any] = {}
+    for arg in (sys.argv[1:] if argv is None else argv):
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got {arg!r}; see "
+                             f"module docstring")
+        k, _, v = arg.partition("=")
+        args[k.strip()] = yaml.safe_load(v) if v != "" else None
+    return args
+
+
+def main(argv: Optional[List[str]] = None) -> str:
+    args = parse_args(argv)
+    if not args.get("model_file"):
+        raise SystemExit("model_file=<ckpt prefix or path> is required")
+    out = args.get("out") or f"{args['model_file']}.jaxexp"
+
+    from stofnet_tpu.serve import export_pipeline, save_pipeline
+    from stofnet_tpu.train.checkpoint import (find_checkpoint,
+                                              load_model_variables)
+
+    path = args["model_file"]
+    resolved = (find_checkpoint(args.get("ckpt_dir", "ckpts"), str(path))
+                or find_checkpoint("/root/reference/ckpts", str(path)))
+    if resolved is not None:
+        path = resolved
+    # works for both reference .pth and trained-here orbax dirs; the
+    # architecture overrides are inferred from the params tree itself
+    # (conv_last Cout = upsample factor; SGB presence), so any StofNet
+    # checkpoint exports without extra flags
+    variables = load_model_variables("stofnet", path)
+    params = variables["params"]
+    overrides = {
+        "upsample_factor": int(params["conv_last"]["kernel"].shape[-1]),
+    }
+    if "semi_global_block" not in params:
+        overrides["semi_global_scale"] = 1
+
+    platforms = args.get("platforms", "cpu,tpu")
+    if isinstance(platforms, str):
+        platforms = [p.strip() for p in platforms.split(",") if p.strip()]
+    th = args.get("th")
+    blob = export_pipeline(
+        variables, overrides,
+        int(args.get("batch", 128)), int(args.get("length", 8000)),
+        platforms=platforms,
+        window_size=int(args.get("window_size", 20)),
+        threshold=None if th in (None, "Null") else float(th),
+        max_echoes=int(args.get("max_echoes", 64)))
+    p = save_pipeline(out, blob)
+    print(f"exported {p} ({len(blob) / 1e6:.2f} MB, "
+          f"platforms={','.join(platforms)}, "
+          f"input=({args.get('batch', 128)}, 1, {args.get('length', 8000)}) "
+          f"f32)", file=sys.stderr)
+    return str(p)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""AOT serving export: serialize the full RF→ToF pipeline to StableHLO.
+
+No reference equivalent (the torch reference serves eagerly from a live
+python process, main.py:291-347). For production TPU serving, the whole
+pipeline — StofNet forward in bf16 + static-shape peak decode — is
+exported once via ``jax.export`` with the checkpoint weights baked in as
+constants, producing a single self-contained artifact that:
+
+- needs NO model code, flax, or checkpoint files at serving time
+  (``load_pipeline`` + one ``.call``);
+- is lowered for BOTH cpu and tpu by default (export on a CPU host,
+  serve on a TPU worker);
+- pins the serving contract statically: (batch, 1, length) f32 in,
+  (batch * channels, max_echoes) f32 coords out, 0 = empty slot —
+  exactly the benchmark protocol's decode (`ops/peaks.mask2coords`).
+
+The artifact format is jax.export's serialization (StableHLO + calling
+convention, versioned and stable across jax releases); compile-at-load
+is XLA's job and pairs with the CLI's ``compile_cache=`` flag for fast
+cold starts.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
+                  *, window_size: int = 20, threshold: Optional[float] = None,
+                  max_echoes: int = 64, dtype: Any = None):
+    """The serving callable ``x (B, 1, L) f32 -> coords`` with weights
+    closed over: StofNet forward (bf16 by default) + the protocol decode
+    in the checkpoint's own upsample units (reference main.py:291-321)."""
+    import jax.numpy as jnp
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.ops import mask2coords
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    model = StofNet(dtype=dtype, **overrides)
+    up = int(overrides.get("upsample_factor", 4))
+
+    def pipe(x):
+        heat = model.apply(variables, x)
+        return mask2coords(heat.astype(jnp.float32),
+                           window_size=window_size, threshold=threshold,
+                           upsample_factor=up, max_echoes=max_echoes)
+
+    return pipe
+
+
+def export_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
+                    batch: int, length: int,
+                    *, platforms: Sequence[str] = ("cpu", "tpu"),
+                    **pipe_kwargs) -> bytes:
+    """Serialize the pipeline for a fixed (batch, 1, length) f32 input.
+
+    Static shapes are deliberate (the TPU serving contract); export one
+    artifact per serving shape — they are small (weights + ~35 kB HLO).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    pipe = make_pipeline(variables, overrides, **pipe_kwargs)
+    exp = jexport.export(jax.jit(pipe), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((batch, 1, length), jnp.float32))
+    return exp.serialize()
+
+
+def save_pipeline(path: str | Path, blob: bytes) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(blob)
+    return path
+
+
+def load_pipeline(path: str | Path):
+    """Deserialize an exported artifact; returns a callable
+    ``f(x) -> coords`` (jit-compiles for the local backend on first call).
+    No model code or checkpoint needed."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(Path(path).read_bytes())
+
+    def call(x):
+        return exp.call(x)
+
+    call.in_avals = exp.in_avals
+    call.platforms = exp.platforms
+    return call
