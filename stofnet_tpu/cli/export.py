@@ -55,6 +55,8 @@ def main(argv: Optional[List[str]] = None) -> str:
     params = variables["params"]
     overrides = {
         "upsample_factor": int(params["conv_last"]["kernel"].shape[-1]),
+        "num_blocks": 1 + max(int(k[4:]) for k in params
+                              if k.startswith("conv") and k[4:].isdigit()),
     }
     if "semi_global_block" not in params:
         overrides["semi_global_scale"] = 1
@@ -63,13 +65,25 @@ def main(argv: Optional[List[str]] = None) -> str:
     if isinstance(platforms, str):
         platforms = [p.strip() for p in platforms.split(",") if p.strip()]
     th = args.get("th")
+    calib = None
+    if args.get("int8_calib"):
+        # int8-SGB serving export: the .npy batch calibrates the pre-pool
+        # requantization scales; the quantized state is baked in. Use
+        # echo-bearing waveforms (docs/DESIGN.md calibration trap).
+        import numpy as _np
+
+        calib = _np.load(str(args["int8_calib"])).astype(_np.float32)
+        if calib.ndim != 3 or calib.shape[1] != 1:
+            raise SystemExit(f"int8_calib must be a (B, 1, L) array, got "
+                             f"{calib.shape}")
     blob = export_pipeline(
         variables, overrides,
         int(args.get("batch", 128)), int(args.get("length", 8000)),
         platforms=platforms,
         window_size=int(args.get("window_size", 20)),
         threshold=None if th in (None, "Null") else float(th),
-        max_echoes=int(args.get("max_echoes", 64)))
+        max_echoes=int(args.get("max_echoes", 64)),
+        int8_calib=calib)
     p = save_pipeline(out, blob)
     print(f"exported {p} ({len(blob) / 1e6:.2f} MB, "
           f"platforms={','.join(platforms)}, "

@@ -30,24 +30,51 @@ import numpy as np
 
 def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                   *, window_size: int = 20, threshold: Optional[float] = None,
-                  max_echoes: int = 64, dtype: Any = None):
+                  max_echoes: int = 64, dtype: Any = None,
+                  int8_calib: Any = None):
     """The serving callable ``x (B, 1, L) f32 -> coords`` with weights
     closed over: StofNet forward (bf16 by default) + the protocol decode
-    in the checkpoint's own upsample units (reference main.py:291-321)."""
+    in the checkpoint's own upsample units (reference main.py:291-321).
+
+    ``int8_calib``: a representative (B, 1, L) f32 batch switches the
+    forward to the int8-SGB serving path (`models/int8.py`) — the batch
+    calibrates the pre-pool requantization scales (activation input
+    scales stay dynamic per waveform), and the QUANTIZED state is what
+    gets baked into the export. Calibrate on echo-bearing data
+    (docs/DESIGN.md: noise-only calibration passes noise gates but can
+    shift echo decodes)."""
     import jax.numpy as jnp
 
-    from stofnet_tpu.models import StofNet
     from stofnet_tpu.ops import mask2coords
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    model = StofNet(dtype=dtype, **overrides)
     up = int(overrides.get("upsample_factor", 4))
 
-    def pipe(x):
-        heat = model.apply(variables, x)
+    def decode(heat):
         return mask2coords(heat.astype(jnp.float32),
                            window_size=window_size, threshold=threshold,
                            upsample_factor=up, max_echoes=max_echoes)
+
+    if int8_calib is not None:
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        qkw = {k: int(v) for k, v in overrides.items()
+               if k in ("upsample_factor", "num_blocks",
+                        "semi_global_scale")}
+        q = quantize_stofnet(variables, jnp.asarray(int8_calib), **qkw)
+
+        def pipe(x):
+            return decode(stofnet_apply_int8(q, x, dtype=dtype, **qkw))
+
+        return pipe
+
+    from stofnet_tpu.models import StofNet
+
+    model = StofNet(dtype=dtype, **overrides)
+
+    def pipe(x):
+        return decode(model.apply(variables, x))
 
     return pipe
 

@@ -82,3 +82,24 @@ def test_cli_export_reference_checkpoint(tmp_path):
         assert valid.size, f"row {b}: no echo decoded"
         assert np.min(np.abs(valid - p0)) < 30.0, (
             f"row {b}: decoded {valid} vs expected ~{p0}")
+
+
+def test_int8_export_roundtrip(small_ckpt, tmp_path):
+    """int8_calib switches the exported forward to the quantized SGB
+    path; the artifact equals the live int8 pipeline bit-for-bit and
+    decodes the synthetic echo where the f32 export does."""
+    variables, overrides = small_ckpt
+    t = np.arange(800, dtype=np.float32)
+    calib = np.stack([
+        (np.exp(-0.5 * ((t - p0) / 12.0) ** 2)
+         * np.sin(2 * np.pi * t / 20.0))[None]
+        for p0 in (150.0, 300.0, 450.0, 600.0)]).astype(np.float32)
+
+    blob = export_pipeline(variables, overrides, batch=2, length=800,
+                           max_echoes=4, int8_calib=calib)
+    served = load_pipeline(save_pipeline(tmp_path / "q.jaxexp", blob))
+    live = jax.jit(make_pipeline(variables, overrides, max_echoes=4,
+                                 int8_calib=calib))
+    x = calib[:2]
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(live(jnp.asarray(x))))
