@@ -322,6 +322,39 @@ for trial in range(40):
                f"trial {trial} l={l} gs={gs} th={th} ival=({smin},{smax}): "
                f"ours={our_pairs[:6]} ref={ref_pairs[:6]}")
 
+# ---- iq2rf / linear upscale (scipy recipe, chirp_dataset.py:79-91) ----
+from scipy.interpolate import interp1d
+
+from stofnet_tpu.ops.resample import iq2rf, upscale_1d
+
+for trial in range(50):
+    runs += 1
+    n = int(rng.integers(40, 600))
+    r = int(rng.choice([2, 4, 10, 20]))
+    fc = float(rng.uniform(1e6, 8e6))
+    fs = float(rng.uniform(1e6, 4e6))
+    iq = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    x = np.linspace(0, n / fs, num=n, endpoint=True)
+    t = np.linspace(0, n / fs, num=int(n * r), endpoint=True)
+    ref = (interp1d(x, iq, axis=0)(t) * np.exp(2j * np.pi * fc * t)).real
+    ours = np.asarray(iq2rf(jnp.asarray(iq), fc=fc, fs=fs,
+                            rescale_factor=r))
+    if not np.allclose(ours, ref, rtol=1e-3, atol=3e-3):
+        report("iq2rf", f"trial {trial} n={n} r={r}: maxdiff "
+               f"{np.abs(ours - ref).max()}")
+
+    m = int(rng.integers(30, 400))
+    f = float(rng.choice([1.5, 2.0, 3.0, 8.0]))
+    d = rng.standard_normal(m).astype(np.float32)
+    xx = np.linspace(0, m, num=m, endpoint=True)
+    tt = np.linspace(0, m, num=int(m * f), endpoint=True)
+    up_ref = interp1d(xx, d, axis=0)(tt)
+    up_ours = np.asarray(upscale_1d(jnp.asarray(d), f))
+    if not np.allclose(up_ours, up_ref, rtol=1e-3, atol=1e-4):
+        report("upscale_1d", f"trial {trial} m={m} f={f}: maxdiff "
+               f"{np.abs(up_ours - up_ref).max()}")
+
 print(f"done: {runs} trials, {fails} mismatches, "
       f"{skipped_ref_bugs} known-reference-bug rows skipped")
 sys.exit(1 if fails else 0)

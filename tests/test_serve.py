@@ -103,3 +103,26 @@ def test_int8_export_roundtrip(small_ckpt, tmp_path):
     x = calib[:2]
     np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
                                   np.asarray(live(jnp.asarray(x))))
+
+
+def test_exported_artifact_serves_on_dp_mesh(small_ckpt, tmp_path):
+    """The artifact is a jax-traceable callable: jit it over a dp mesh and
+    GSPMD shards the baked program like any function — multi-chip serving
+    straight from the export, identical to single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stofnet_tpu.parallel import make_mesh
+
+    variables, overrides = small_ckpt
+    blob = export_pipeline(variables, overrides, batch=8, length=800,
+                           max_echoes=4)
+    served = load_pipeline(save_pipeline(tmp_path / "m.jaxexp", blob))
+    x = np.random.default_rng(0).standard_normal((8, 1, 800)).astype(
+        np.float32)
+    single = np.asarray(served(jnp.asarray(x)))
+
+    mesh = make_mesh(dp=8, sp=1)
+    sh = NamedSharding(mesh, P("dp"))
+    sharded = np.asarray(jax.jit(lambda xx: served(xx), in_shardings=(sh,))(
+        jax.device_put(jnp.asarray(x), sh)))
+    np.testing.assert_array_equal(single, sharded)
