@@ -79,13 +79,6 @@ def report(name, msg):
     print(f"MISMATCH {name}: {msg}")
 
 
-def pad_to(mat, width):
-    out = np.zeros((len(mat), width), np.float32)
-    for i, row in enumerate(mat):
-        out[i, : len(row)] = row[:width]
-    return out
-
-
 N_DECODE = int(sys.argv[1]) if len(sys.argv) > 1 else 150
 
 for trial in range(N_DECODE):
@@ -125,8 +118,16 @@ for trial in range(N_DECODE):
         # KNOWN reference bug #1, not a parity gap: get_amplitudes
         # squeezes the channel dim, so a single-channel item with
         # detections > echo_max crashes upstream
-        # (utils/mask2samples.py:137). Our decoder handles it.
-        skipped_ref_bugs += 1
+        # (utils/mask2samples.py:137). Verify the trigger condition
+        # before skipping — any OTHER RuntimeError is a real finding.
+        n_det = int((np.abs(get_survivors(heat[0, 0], win, th)) > 0).sum())
+        if B == 1 and n_det > maxe:
+            skipped_ref_bugs += 1
+        else:
+            report("mask2coords",
+                   f"REF RuntimeError at trial {trial} outside the known "
+                   f"single-channel truncation class (B={B} det={n_det} "
+                   f"maxe={maxe}): {traceback.format_exc(limit=1)}")
         continue
     except Exception:
         report("mask2coords", f"REF exception at trial {trial}: "

@@ -32,8 +32,22 @@ def parse_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     return args
 
 
+_KNOWN_KEYS = frozenset({
+    "model_file", "out", "ckpt_dir", "platforms", "th", "batch", "length",
+    "window_size", "max_echoes", "int8_calib",
+    # architecture overrides (win over params-tree inference — needed
+    # where the architecture is not recoverable from shapes, e.g. a
+    # non-default semi_global_scale pooling factor)
+    "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
+})
+
+
 def main(argv: Optional[List[str]] = None) -> str:
     args = parse_args(argv)
+    unknown = set(args) - _KNOWN_KEYS
+    if unknown:
+        raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
+                         f"supported: {sorted(_KNOWN_KEYS)}")
     if not args.get("model_file"):
         raise SystemExit("model_file=<ckpt prefix or path> is required")
     out = args.get("out") or f"{args['model_file']}.jaxexp"
@@ -47,19 +61,26 @@ def main(argv: Optional[List[str]] = None) -> str:
                 or find_checkpoint("/root/reference/ckpts", str(path)))
     if resolved is not None:
         path = resolved
-    # works for both reference .pth and trained-here orbax dirs; the
-    # architecture overrides are inferred from the params tree itself
-    # (conv_last Cout = upsample factor; SGB presence), so any StofNet
-    # checkpoint exports without extra flags
+    # works for both reference .pth and trained-here orbax dirs; shape-
+    # recoverable architecture knobs are inferred from the params tree
+    # (conv_last Cout = upsample factor, conv<i> names = num_blocks,
+    # conv1 Cout = num_features, SGB presence). semi_global_scale is NOT
+    # in any shape — the default 80 matches every shipped checkpoint;
+    # pass semi_global_scale=N explicitly for a non-default pooling scale
     variables = load_model_variables("stofnet", path)
     params = variables["params"]
     overrides = {
         "upsample_factor": int(params["conv_last"]["kernel"].shape[-1]),
         "num_blocks": 1 + max(int(k[4:]) for k in params
                               if k.startswith("conv") and k[4:].isdigit()),
+        "num_features": int(params["conv1"]["kernel"].shape[-1]),
     }
     if "semi_global_block" not in params:
         overrides["semi_global_scale"] = 1
+    for k in ("num_features", "semi_global_scale", "num_blocks",
+              "upsample_factor"):
+        if args.get(k) is not None:
+            overrides[k] = int(args[k])
 
     platforms = args.get("platforms", "cpu,tpu")
     if isinstance(platforms, str):

@@ -666,12 +666,19 @@ def run(cfg: Config) -> Dict[str, Any]:
         # persistent XLA compilation cache: serving/eval restarts skip the
         # 20-60 s first-jit compile (the reference's torch has no compile
         # step to cache; under jit ours is the cold-start cost that
-        # matters in production). Must be set before the first compile.
+        # matters in production). Must be set before the first compile;
+        # scoped to THIS run (restored in the finally below) so later
+        # in-process runs — or the rest of a pytest session — don't
+        # silently keep reading/writing this run's cache dir.
         import jax
 
+        prev_cache = (jax.config.jax_compilation_cache_dir,
+                      jax.config.jax_persistent_cache_min_compile_time_secs)
         jax.config.update("jax_compilation_cache_dir",
                           str(cfg.compile_cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        prev_cache = None
     ctx = setup(cfg)
     import jax
 
@@ -698,6 +705,10 @@ def run(cfg: Config) -> Dict[str, Any]:
             result = train(ctx, logger)
     finally:
         logger.finish()
+        if prev_cache is not None:
+            jax.config.update("jax_compilation_cache_dir", prev_cache[0])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              prev_cache[1])
     print(f"run {run_name}: " + ", ".join(
         f"{k}={v}" for k, v in result.items()), file=sys.stderr)
     return {"run_name": run_name, **result}

@@ -24,6 +24,7 @@ def heatmap_loss(
     sigma: float = 1.0,
     mask_amplitude: float = 20.0,
     lambda_value: float = 1e-2,
+    norm_max: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blurred-spike MSE + lambda * L1-to-zero.
 
@@ -32,6 +33,12 @@ def heatmap_loss(
         gt_true: (B, 1, K) integer GT positions in upsampled units
             (already rounded * upsample_factor; invalid slots <= 0).
         kernel: precomputed Gaussian kernel (else built from size/sigma).
+        norm_max: precomputed normalization (the blurred mask's max).
+            Gradient accumulation passes the FULL batch's max here so each
+            micro-batch normalizes like the full-batch step would — the
+            normalizer depends only on GT, and without it a micro-batch
+            whose rows all lack GT spikes would divide 0/0 (train/steps.py
+            accum path).
 
     Returns:
         (scalar loss, (B, 1, L_out) unblurred GT spike mask).
@@ -42,7 +49,8 @@ def heatmap_loss(
         kernel = gaussian_kernel(kernel_size, sigma)
     blur = gaussian_blur1d(masks_true, kernel)
     # normalize by the GLOBAL max over the batch, then scale (main.py:230-231)
-    blur = blur / jnp.max(blur) * mask_amplitude
+    blur = blur / (jnp.max(blur) if norm_max is None else norm_max
+                   ) * mask_amplitude
     mse = jnp.mean(jnp.square(masks_pred - blur))
     l1 = jnp.mean(jnp.abs(masks_pred))
     return mse + lambda_value * l1, masks_true

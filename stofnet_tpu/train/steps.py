@@ -126,7 +126,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     if remat:
         forward = jax.checkpoint(forward)
 
-    def loss_fn(params, batch_stats, rng, frame, gt_sample, gt_true):
+    def loss_fn(params, batch_stats, rng, frame, gt_sample, gt_true,
+                norm_max=None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -139,6 +140,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 pred, gt_true, kernel=kernel,
                 mask_amplitude=cfg.mask_amplitude,
                 lambda_value=cfg.lambda_value,
+                norm_max=norm_max,
             )
         return loss, dict(updated.get("batch_stats", {}))
 
@@ -157,14 +159,27 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             # params-sized, negligible next to the SGB's (B, L, 512)), so
             # effective batch scales far past the single-pass memory cliff
             # (the production alternative to the fused-SGB kernel,
-            # docs/DESIGN.md). Exact for batch-mean losses: averaging
-            # micro-batch gradients equals the full-batch gradient up to
-            # reduction order. BatchNorm stats chain sequentially (same
+            # docs/DESIGN.md). Exact vs the full-batch step up to
+            # reduction order: both losses are means over equal-size
+            # micro-batches, and the heatmap loss's GT-blur normalizer —
+            # the one batch-global quantity — is computed over the FULL
+            # batch below and passed into every micro-batch (without it, a
+            # micro-batch whose rows all lack GT spikes would 0/0-NaN and
+            # poison the update). BatchNorm stats chain sequentially (same
             # semantics as N consecutive small batches); dropout draws a
             # distinct stream per micro-batch.
             if frame.shape[0] % accum:
                 raise ValueError(f"batch {frame.shape[0]} not divisible by "
                                  f"accum={accum}")
+
+            norm_max = None
+            if cfg.model_kind != "regression":
+                from stofnet_tpu.ops.gaussian import gaussian_blur1d
+                from stofnet_tpu.ops.peaks import coords2mask
+
+                l_out = frame.shape[-1] * cfg.upsample_factor
+                norm_max = jnp.max(gaussian_blur1d(
+                    coords2mask(gt_true, l_out), kernel))
 
             def split(x):
                 return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
@@ -174,7 +189,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 f, gs, gtr = inp
                 (l, stats), g = grad_fn(state.params, stats,
                                         jax.random.fold_in(rng, i),
-                                        f, gs, gtr)
+                                        f, gs, gtr, norm_max)
                 gsum = jax.tree.map(jnp.add, gsum, g)
                 return (stats, gsum, lsum + l, i + 1), None
 

@@ -325,3 +325,45 @@ class TestAccum:
         assert np.isfinite(float(aux["loss"]))
         for leaf in jax.tree.leaves(new_state.params):
             assert leaf.dtype == jnp.float32
+
+    def test_accum_sparse_gt_micro_batch_stays_finite(self, rng):
+        """Review-confirmed r3 bug: heatmap_loss normalizes the GT blur by
+        its max over the (micro-)batch, so a micro-batch whose rows all
+        lack GT spikes divided 0/0 and NaN-poisoned the params. The accum
+        path now computes the normalizer over the FULL batch and feeds it
+        to every micro-batch — finite loss, params match the full-batch
+        step, even with GT only in the first half of the batch AND with
+        two spikes inside one kernel width (the overlap case where the
+        per-micro max would differ from the global max)."""
+        from stofnet_tpu.models import ESPCN1D
+
+        model = ESPCN1D(upscale_factor=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+        cfg = LossConfig(upsample_factor=4, max_echoes=8)
+        optimizer, _ = make_optimizer(steps_per_epoch=1)
+
+        frame = jnp.asarray(rng.standard_normal((4, 1, 800)).astype(
+            np.float32))
+        # rows 0-1 carry GT (row 0 with two spikes 2 apart: blur overlap
+        # makes the global max exceed the kernel peak); rows 2-3 have none
+        gt = np.zeros((4, 2), np.float32)
+        gt[0] = [100.0, 100.5]
+        gt[1] = [400.0, 0.0]
+        gt_true = np.round(gt[:, None, :] * 4).astype(np.int32)
+        gt, gt_true = jnp.asarray(gt), jnp.asarray(gt_true)
+
+        s_full, a_full = make_train_step(model, optimizer, cfg)(
+            init_train_state(variables, optimizer), frame, gt, gt_true)
+        s_acc, a_acc = make_train_step(model, optimizer, cfg, accum=2)(
+            init_train_state(variables, optimizer), frame, gt, gt_true)
+
+        assert np.isfinite(float(a_acc["loss"]))
+        np.testing.assert_allclose(float(a_acc["loss"]),
+                                   float(a_full["loss"]), rtol=1e-5)
+        a = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_full.params)])
+        b = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_acc.params)])
+        assert np.isfinite(b).all(), "accum step poisoned the params"
+        diff = np.abs(a - b)
+        assert np.mean(diff < 1e-5) > 0.999 and diff.max() < 2 * 5e-4
