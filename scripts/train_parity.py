@@ -131,15 +131,16 @@ def train_torch(chirp_root, ckpt_dir: Path):
     return curve, path
 
 
-def train_jax(chirp_root, run_dir: Path, ckpt_dir: Path):
-    """Our CLI training path, same recipe/config."""
+def train_jax(chirp_root, run_dir: Path, ckpt_dir: Path, amp: bool = False):
+    """Our CLI training path, same recipe/config (optionally the bf16
+    mixed-precision recipe — scripts/train_amp_quality.py's arm)."""
     from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
     from stofnet_tpu.utils.config import load_config
 
     cfg = load_config(DEFAULT_CONFIG)
     cfg.update(data_dir=str(chirp_root), evaluate=False, model="stofnet",
                epochs=EPOCHS, batch_size=BATCH, rf_scale_factor=RF_SCALE,
-               max_echoes=8, crop_ratio=0.75, snr_db=30, seed=SEED,
+               max_echoes=8, crop_ratio=0.75, snr_db=30, seed=SEED, amp=amp,
                plot_interval=0, run_dir=str(run_dir), ckpt_dir=str(ckpt_dir))
     out = run(cfg)
 
