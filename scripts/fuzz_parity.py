@@ -9,7 +9,7 @@ kernel/sigma/amplitude/lambda), find_threshold (both norm modes incl.
 degenerate no-positive draws), GradPeak hysteresis pairing (random echo
 layouts/grad steps/intervals), iq2rf and linear upscale (vs the scipy
 recipe). Usage: ``python scripts/fuzz_parity.py [n_decode_trials]``;
-prints a line per mismatch, exits nonzero if any. Latest run: 680
+prints a line per mismatch, exits nonzero if any. Cumulative r3 campaign: >2,100
 trials, 0 mismatches (known reference truncation bugs skipped).
 
 r3 campaign results (700 trials): every op matches the reference
