@@ -1,0 +1,219 @@
+"""Multi-host (multi-process) training demonstration over jax.distributed.
+
+The reference has no distributed backend at all (SURVEY §5: no
+torch.distributed/NCCL; cluster throughput = SLURM array fan-out). Our
+parallel layer targets XLA collectives over a device mesh; on real
+hardware that is ICI/DCN across TPU hosts via `jax.distributed` +
+`parallel.init_distributed`. Multi-chip TPU hardware is not reachable
+here, but the SAME code path runs multi-PROCESS on the CPU backend (gloo
+collectives) — this script proves it end to end:
+
+- N worker processes each own 4 local virtual CPU devices;
+  `parallel.init_distributed` wires them into one 4N-device global mesh;
+- the flagship StofNet + the real jitted train step
+  (`train.steps.make_train_step`, amp recipe included) runs dp-sharded
+  over the GLOBAL mesh, each process feeding only its local batch shard
+  (`jax.make_array_from_process_local_data`);
+- every process must observe the SAME finite global loss trajectory
+  (the loss is an all-reduce over the global batch), asserted both
+  in-worker (allgather of per-step losses) and by the launcher across
+  worker logs; the trajectory must also match a SINGLE-process run of
+  the identical global batch (the multihost-vs-single parity claim).
+
+Usage: ``PALLAS_AXON_POOL_IPS= python scripts/multihost_demo.py``
+(launcher mode: spawns 2 workers, checks cross-process agreement, then
+runs the single-process control and writes docs/MULTIHOST.md).
+Worker mode (internal): ``... multihost_demo.py worker <pid> <nprocs>``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+COORD = "127.0.0.1:9917"
+NPROC = 2
+LOCAL_DEVICES = 4
+STEPS = 4
+BATCH_PER_PROC = 4  # global batch = NPROC * BATCH_PER_PROC
+LENGTH = 800
+SEED = 7
+
+
+def _setup_backend():
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _global_batch(np_mod, step: int):
+    """Deterministic (global_batch, 1, L) frame + GT, same on every
+    process (each slices its own shard)."""
+    rng = np_mod.random.default_rng(SEED + step)
+    b = NPROC * BATCH_PER_PROC
+    frame = rng.standard_normal((b, 1, LENGTH)).astype(np_mod.float32)
+    gt = rng.uniform(10, LENGTH - 10, size=(b, 1)).astype(np_mod.float32)
+    gt_true = np_mod.round(gt[:, None, :] * 4).astype(np_mod.int32)
+    return frame, gt, gt_true
+
+
+def _train_losses(jax, mesh, feed) -> list:
+    """STEPS losses of the real train step (amp recipe) on ``mesh``;
+    ``feed(x, sharding)`` places each global array."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.parallel import batch_sharding, replicate
+    from stofnet_tpu.train.steps import (LossConfig, init_train_state,
+                                         make_optimizer, make_train_step)
+
+    model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+    optimizer, _ = make_optimizer(steps_per_epoch=1)
+    step_fn = make_train_step(model, optimizer,
+                              LossConfig(upsample_factor=4, max_echoes=8),
+                              amp=True)
+
+    # multi-controller rule: state must be GLOBAL arrays. Build it inside
+    # a jit with replicated out_shardings — every process traces the same
+    # pure program, so the replicas agree without any host-side transfer
+    # (device_put of host values onto non-addressable devices is illegal)
+    @partial(jax.jit, out_shardings=replicate(mesh))
+    def make_state():
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 1, LENGTH)))
+        return init_train_state(variables, optimizer)
+
+    state = make_state()
+    jit_step = jax.jit(step_fn)
+    losses = []
+    for i in range(STEPS):
+        frame, gt, gt_true = _global_batch(np, i)
+        x = feed(frame, batch_sharding(mesh, 3))
+        g = feed(gt, batch_sharding(mesh, 2))
+        gtr = feed(gt_true, batch_sharding(mesh, 3))
+        state, aux = jit_step(state, x, g, gtr)
+        losses.append(float(aux["loss"]))
+    return losses
+
+
+def worker(pid: int, nproc: int) -> None:
+    jax = _setup_backend()
+    from stofnet_tpu.parallel import init_distributed, make_mesh
+
+    init_distributed(coordinator_address=COORD, num_processes=nproc,
+                     process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc * LOCAL_DEVICES
+    mesh = make_mesh(sp=1)  # dp = all 4N global devices
+
+    import numpy as np
+
+    def feed(arr, sharding):
+        shard = arr[pid * BATCH_PER_PROC:(pid + 1) * BATCH_PER_PROC]
+        return jax.make_array_from_process_local_data(sharding, shard,
+                                                      arr.shape)
+
+    losses = _train_losses(jax, mesh, feed)
+    assert all(np.isfinite(losses)), losses
+
+    # cross-process agreement asserted IN the job: allgather each
+    # process's loss vector through the mesh and compare
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mine = np.asarray(losses, np.float32)[None]
+    gathered = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")),
+        np.repeat(mine, LOCAL_DEVICES, 0),
+        (nproc * LOCAL_DEVICES, STEPS))
+    allv = np.asarray(jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, P()))(gathered))
+    assert np.allclose(allv, allv[0], atol=0), \
+        f"cross-process loss divergence: {allv}"
+    print("WORKER_OK", pid, json.dumps(losses), flush=True)
+
+
+def main() -> None:
+    t0 = time.time()
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "worker", str(p), str(NPROC)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for p in range(NPROC)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    losses = {}
+    for p, out in zip(procs, outs):
+        if p.returncode != 0 or "WORKER_OK" not in out:
+            raise SystemExit(f"worker failed (rc={p.returncode}):\n"
+                             + out[-2000:])
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("WORKER_OK")][0]
+        _, pid, blob = line.split(" ", 2)
+        losses[int(pid)] = json.loads(blob)
+    assert losses[0] == losses[1], \
+        f"launcher-level divergence: {losses}"
+
+    # single-process control: same global batches on one 4-device process
+    jax = _setup_backend()
+    from stofnet_tpu.parallel import make_mesh
+
+    mesh = make_mesh(sp=1)
+
+    def feed(arr, sharding):
+        return jax.device_put(arr, sharding)
+
+    single = _train_losses(jax, mesh, feed)
+    import numpy as np
+
+    dev = np.max(np.abs(np.asarray(single) - np.asarray(losses[0])))
+    assert dev < 5e-3, (
+        f"multihost-vs-single loss deviation {dev}: {losses[0]} vs {single}")
+
+    doc = f"""# MULTIHOST — multi-process training over jax.distributed
+
+Generated by scripts/multihost_demo.py on {time.strftime('%Y-%m-%d')}
+(CPU backend, {time.time() - t0:.0f}s). {NPROC} worker processes x
+{LOCAL_DEVICES} virtual devices each = {NPROC * LOCAL_DEVICES}-device
+global dp mesh (gloo collectives — the CPU stand-in for ICI/DCN;
+`parallel.init_distributed` passes through to `jax.distributed`
+unchanged on TPU pods). The REAL jitted train step (flagship StofNet,
+bf16 amp recipe) ran {STEPS} dp-sharded steps with each process feeding
+only its local batch shard.
+
+| check | result |
+|---|---|
+| global devices seen by each worker | {NPROC * LOCAL_DEVICES} |
+| per-step losses identical across processes (allgather, atol=0) | yes |
+| multihost vs single-process loss trajectory | max dev {dev:.2e} |
+| loss trajectory | {', '.join(f'{v:.4f}' for v in losses[0])} |
+
+The reference has no distributed backend (SURVEY §5; SLURM array
+fan-out only). This demonstrates the §2.31 multi-host hook end to end:
+process-local data feeding via `jax.make_array_from_process_local_data`,
+XLA cross-process collectives in the loss all-reduce, and replicated
+optimizer state staying in lockstep.
+"""
+    (REPO / "docs" / "MULTIHOST.md").write_text(doc)
+    print(f"multihost demo ok: {NPROC} procs, dev vs single {dev:.2e}; "
+          f"wrote docs/MULTIHOST.md")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -1,6 +1,7 @@
 """Mesh construction and sharding specs for multi-device execution."""
 
 from stofnet_tpu.parallel.mesh import (
+    init_distributed,
     make_mesh,
     batch_sharding,
     batch_seq_sharding,
@@ -9,6 +10,7 @@ from stofnet_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "batch_sharding",
     "batch_seq_sharding",
