@@ -325,3 +325,36 @@ def test_remat_train_step_matches(setup):
     for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_two_process_losses_agree():
+    """The §2.31 multi-host hook, live: two coordinated processes
+    (jax.distributed, gloo) run the real amp train step dp-sharded over
+    one global mesh, each feeding only its local batch shard — and must
+    print identical finite loss trajectories (scripts/multihost_demo.py
+    worker mode; the full demo incl. single-process control and
+    docs/MULTIHOST.md lives in that script)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / \
+        "multihost_demo.py"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), "worker", str(p), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for p in range(2)]
+    outs = [p.communicate(timeout=400)[0] for p in procs]
+    losses = {}
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "WORKER_OK" in out, out[-1500:]
+        line = next(ln for ln in out.splitlines()
+                    if ln.startswith("WORKER_OK"))
+        _, pid, blob = line.split(" ", 2)
+        losses[int(pid)] = json.loads(blob)
+    assert losses[0] == losses[1]
+    assert all(np.isfinite(losses[0]))
