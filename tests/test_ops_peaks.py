@@ -297,3 +297,26 @@ def test_mask2coords_ragged_truncation_phantom_amplitudes():
     ours_ch1 = sorted(v for v in ours[1].tolist() if v > 0)
     assert ours_ch1 == [1.0, 20.0]  # the two strongest GENUINE echoes
     assert ref_ch1 == [1.0]         # the reference evicted echo 20
+
+
+def test_mask2coords_empty_detections_static_shape():
+    """Reference quirk #3 (found by the r3 seed-4242 fuzz campaign): when
+    NO maxima survive, the reference's early-out returns
+    ``zeros((B, scores.shape[1], 1))`` — for its 2-D (B, L) input that is
+    a rank-3 (B, L, 1) tensor with a bogus L-sized axis
+    (/root/reference/utils/mask2samples.py:88-89), breaking the
+    documented (B, E) 0=invalid layout every other code path produces.
+    Our decoder is shape-stable: the same static (B, max_echoes) zeros
+    as any other empty row."""
+    from utils.mask2samples import mask2coords as ref_mask2coords
+
+    heat = np.zeros((2, 1, 40), np.float32)  # nothing to detect
+    ours = np.asarray(mask2coords(jnp.asarray(heat), window_size=9,
+                                  threshold=None, upsample_factor=2,
+                                  max_echoes=8))
+    assert ours.shape == (2, 8) and not ours.any()
+
+    ref = ref_mask2coords(torch.from_numpy(heat[:, 0, :]), window_size=9,
+                          threshold=None, upsample_factor=2,
+                          echo_max=8).numpy()
+    assert ref.ndim == 3 and ref.shape == (2, 40, 1) and not ref.any()
