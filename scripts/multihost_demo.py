@@ -39,6 +39,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 COORD = "127.0.0.1:9917"
+COORD_SP = "127.0.0.1:9918"
 NPROC = 2
 LOCAL_DEVICES = 4
 STEPS = 4
@@ -147,6 +148,62 @@ def worker(pid: int, nproc: int) -> None:
     print("WORKER_OK", pid, json.dumps(losses), flush=True)
 
 
+def spworker(pid: int, nproc: int) -> None:
+    """Sequence-parallel ACROSS processes: 1 local device each, the RF
+    sample axis sharded over the cross-process mesh — GSPMD's conv halo
+    exchanges (and the SemiGlobalBlock's pooled-pathway collectives) ride
+    the distributed backend (gloo here; ICI/DCN on TPU pods). Each
+    process holds only its length-half of the frame; the sharded forward
+    must match a locally-computed unsharded forward."""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # initialize the distributed runtime BEFORE importing model modules:
+    # flax's import initialises the XLA backend, after which
+    # jax.distributed.initialize refuses to run
+    jax.distributed.initialize(coordinator_address=COORD_SP,
+                               num_processes=nproc, process_id=pid)
+    from functools import partial
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.parallel import (batch_seq_sharding, make_mesh,
+                                      replicate)
+    assert jax.device_count() == nproc
+    mesh = make_mesh(sp=nproc)  # (dp=1, sp=nproc): length axis crosses
+    # processes
+    model = StofNet(num_features=16, semi_global_scale=8, num_blocks=4)
+
+    @partial(jax.jit, out_shardings=replicate(mesh))
+    def make_variables():
+        return model.init(jax.random.key(0), jnp.zeros((1, 1, LENGTH)))
+
+    variables = make_variables()
+    frame = np.random.default_rng(SEED).standard_normal(
+        (2, 1, LENGTH)).astype(np.float32)
+
+    seqsh = batch_seq_sharding(mesh, 3, seq_axis=2)
+    half = LENGTH // nproc
+    x = jax.make_array_from_process_local_data(
+        seqsh, frame[:, :, pid * half:(pid + 1) * half], frame.shape)
+    out = np.asarray(jax.jit(
+        model.apply, in_shardings=(replicate(mesh), seqsh),
+        out_shardings=replicate(mesh))(variables, x))
+
+    # local unsharded control on this process's own device (replicated
+    # global arrays fetch to host, then an ordinary local jit)
+    host_vars = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                             variables)
+    ref = np.asarray(jax.jit(model.apply)(host_vars, jnp.asarray(frame)))
+    dev = float(np.max(np.abs(out - ref)))
+    assert dev < 1e-4, f"cross-process sp forward deviates by {dev}"
+    print("SPWORKER_OK", pid, dev, float(np.sum(out)), flush=True)
+
+
 def main() -> None:
     t0 = time.time()
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
@@ -166,6 +223,22 @@ def main() -> None:
         losses[int(pid)] = json.loads(blob)
     assert losses[0] == losses[1], \
         f"launcher-level divergence: {losses}"
+
+    # cross-process sequence parallelism: 2 single-device processes,
+    # length axis sharded BETWEEN them (conv halos over gloo)
+    sp_procs = [subprocess.Popen(
+        [sys.executable, __file__, "spworker", str(p), str(NPROC)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for p in range(NPROC)]
+    sp_outs = [p.communicate(timeout=420)[0] for p in sp_procs]
+    sp_devs = []
+    for p, out in zip(sp_procs, sp_outs):
+        if p.returncode != 0 or "SPWORKER_OK" not in out:
+            raise SystemExit(f"spworker failed (rc={p.returncode}):\n"
+                             + out[-2000:])
+        line = next(ln for ln in out.splitlines()
+                    if ln.startswith("SPWORKER_OK"))
+        sp_devs.append(float(line.split()[2]))
 
     # single-process control: same global batches on one 4-device process
     jax = _setup_backend()
@@ -199,6 +272,7 @@ only its local batch shard.
 | global devices seen by each worker | {NPROC * LOCAL_DEVICES} |
 | per-step losses identical across processes (allgather, atol=0) | yes |
 | multihost vs single-process loss trajectory | max dev {dev:.2e} |
+| cross-process SEQUENCE parallel forward (1 device/process, conv halos over gloo) vs unsharded | max dev {max(sp_devs):.2e} |
 | loss trajectory | {', '.join(f'{v:.4f}' for v in losses[0])} |
 
 The reference has no distributed backend (SURVEY §5; SLURM array
@@ -215,5 +289,7 @@ optimizer state staying in lockstep.
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "spworker":
+        spworker(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()
