@@ -204,11 +204,12 @@ def test_bench_fetch_retries(monkeypatch):
         bench.fetch(dead, "probe")
 
 
-def test_bench_respawn_bounded(monkeypatch):
-    """At the attempt ceiling the belt re-raises instead of exec-ing (the
-    driver then records rc=1 with the real traceback)."""
+def test_bench_respawn_bounded(monkeypatch, tmp_path):
+    """At the attempt ceiling with no last-good cache the belt re-raises
+    (the driver then records rc=1 with the real traceback)."""
     import bench
 
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "lg.json"))
     monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", str(bench.PROCESS_ATTEMPTS))
     execs = []
     monkeypatch.setattr(bench.os, "execv", lambda *a: execs.append(a))
@@ -217,14 +218,111 @@ def test_bench_respawn_bounded(monkeypatch):
         raise RuntimeError("wedged")
 
     with pytest.raises(RuntimeError, match="wedged"):
-        bench.respawn_on_failure(boom)
+        bench.respawn_on_failure(boom, "headline")
     assert not execs
 
     # below the ceiling it sleeps then execs a fresh interpreter
     monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", "1")
     monkeypatch.setattr(bench, "PROCESS_BACKOFF_S", 0.0)
-    bench.respawn_on_failure(boom)
+    bench.respawn_on_failure(boom, "headline")
     assert len(execs) == 1 and execs[0][0] == bench.sys.executable
+
+
+def test_bench_stale_fallback(monkeypatch, tmp_path, capsys):
+    """When the relay outlasts the whole re-exec budget (r3: >12 h outage),
+    the belt serves the last hardware-validated record for the mode from
+    BENCH_LAST_GOOD.json, explicitly marked stale — one honest JSON line
+    with rc=0 instead of a stack trace. Deterministic ShapeRegressions are
+    never masked by the cache."""
+    import json as _json
+
+    import bench
+
+    cache = tmp_path / "lg.json"
+    monkeypatch.setattr(bench, "CACHE_FILE", str(cache))
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", str(bench.PROCESS_ATTEMPTS))
+
+    # emit() on a CPU backend refuses to cache (protects the committed
+    # hardware record from relay-down debugging runs) ...
+    rec = {"metric": "stofnet_rf_to_tof_throughput", "value": 11615.6,
+           "unit": "wf/s", "vs_baseline": 1683.42, "path": "xla"}
+    bench.emit(rec, "headline")
+    assert not cache.exists()
+    capsys.readouterr()
+
+    # ... and persists a successful record when allowed (TPU in prod)
+    monkeypatch.setenv("STOFNET_BENCH_CACHE_ANYWAY", "1")
+    bench.emit(rec, "headline")
+    saved = _json.loads(cache.read_text())["headline"]
+    assert saved["record"] == rec and saved["measured_at"]
+    capsys.readouterr()
+
+    def down():
+        raise RuntimeError("FAILED_PRECONDITION: TPU backend unreachable")
+
+    bench.respawn_on_failure(down, "headline")  # rc=0 path: returns
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # still exactly ONE JSON line
+    served = _json.loads(out[0])
+    assert served["stale"] is True
+    assert served["value"] == rec["value"] and served["path"] == "xla"
+    assert "FAILED_PRECONDITION" in served["stale_reason"]
+    assert served["measured_at"] == saved["measured_at"]
+
+    # a different mode has no cache -> re-raise, no stale masking
+    with pytest.raises(RuntimeError):
+        bench.respawn_on_failure(down, "train")
+
+    # deterministic pipeline regressions are code bugs: never served stale
+    def regressed():
+        raise bench.ShapeRegression("coords shape changed")
+
+    with pytest.raises(bench.ShapeRegression):
+        bench.respawn_on_failure(regressed, "headline")
+
+
+def test_bench_hang_watchdog(monkeypatch, tmp_path, capsys):
+    """A fetch that HANGS (the observed full-outage failure mode: the first
+    device fetch blocks forever after `device: TPU v5 lite0`) trips the
+    watchdog, skips in-process retries (the claim is poisoned), and at the
+    tighter timeout re-exec budget serves the stale record."""
+    import json as _json
+    import threading
+
+    import bench
+
+    monkeypatch.setattr(bench, "FETCH_TIMEOUT_S", 0.2)
+    release = threading.Event()
+
+    def hung():
+        release.wait(30)  # parked like a dead-relay fetch
+
+    with pytest.raises(bench.FetchTimeout, match="still blocked"):
+        bench.fetch(hung, "gate")
+    release.set()  # unpark the daemon worker
+
+    # watchdog passes results and exceptions through when the relay is fine
+    assert bench.fetch(lambda: 41 + 1, "ok") == 42
+
+    # FetchTimeout gets the tighter budget: at attempt 2 it serves stale
+    cache = tmp_path / "lg.json"
+    cache.write_text(_json.dumps({"train": {
+        "record": {"metric": "stofnet_train_throughput", "value": 2802.0,
+                   "unit": "wf/s", "vs_baseline": 406.1},
+        "measured_at": "2026-08-16T00:00:00Z"}}))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(cache))
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT",
+                       str(bench.TIMEOUT_PROCESS_ATTEMPTS))
+    execs = []
+    monkeypatch.setattr(bench.os, "execv", lambda *a: execs.append(a))
+
+    def outage():
+        raise bench.FetchTimeout("gate: still blocked after 720s")
+
+    bench.respawn_on_failure(outage, "train")
+    served = _json.loads(capsys.readouterr().out.strip())
+    assert served["stale"] is True and served["value"] == 2802.0
+    assert not execs  # no third claim-burn on a hang
 
 
 def test_report_tool_wandb_pull(tmp_path, monkeypatch):
@@ -344,5 +442,5 @@ def test_bench_shape_regression_not_retried(monkeypatch):
         raise bench.ShapeRegression("pipeline output shape (1,) != (2,)")
 
     with pytest.raises(bench.ShapeRegression):
-        bench.respawn_on_failure(bad)
+        bench.respawn_on_failure(bad, "headline")
     assert not execs  # escalated immediately, no re-exec
