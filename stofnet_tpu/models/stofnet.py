@@ -87,8 +87,14 @@ class StofNet(nn.Module):
         if self.dtype is not None:
             h = h.astype(self.dtype)
 
+        # reference quirk (models/stofnet.py:23-24): conv1/conv_last paddings
+        # are HARD-CODED to 4 and 1 — "SAME" only for the default kernel
+        # sizes (9, ., 3). Non-default kernels change the sequence length
+        # asymmetrically through these two layers (e.g. k1=5 -> L+4); the
+        # config-space fuzz (tests/test_model_stofnet.py) pins this parity.
         h = nn.relu(
-            nn.Conv(self.num_features, (self.kernel_sizes[0],), padding="SAME",
+            nn.Conv(self.num_features, (self.kernel_sizes[0],),
+                    padding=((4, 4),),
                     dtype=self.dtype, name="conv1",
                     **torch_default(self.kernel_sizes[0], 1))(h)
         )
@@ -119,7 +125,7 @@ class StofNet(nn.Module):
         h = res1 + y
 
         h = nn.Conv(self.upsample_factor, (self.kernel_sizes[2],),
-                    padding="SAME", dtype=self.dtype, name="conv_last",
+                    padding=((1, 1),), dtype=self.dtype, name="conv_last",
                     **torch_default(self.kernel_sizes[2],
                                     self.num_features))(h)
 

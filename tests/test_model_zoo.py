@@ -221,3 +221,99 @@ def test_zonzini_rejects_nan_window_lengths(rng):
     v = model.init(jax.random.PRNGKey(0), ok)
     out = np.asarray(model.apply(v, ok))
     assert np.isfinite(out).all()
+
+
+def test_edsr_config_space_fuzz(rng):
+    """Randomized EDSR option space (reference edsr_1d.py:23 —
+    num_channels, num_features, num_blocks, upscale_factor) vs the live
+    reference with transferred weights. num_features is clamped to a
+    multiple of upscale_factor: the reference's PixelShuffle1D requires
+    it (num_features % upscale != 0 crashes upstream)."""
+    from models.edsr_1d import EDSR_1D
+
+    from stofnet_tpu.models.edsr1d import EDSR1D
+
+    for trial in range(5):
+        nc = int(rng.choice([1, 2]))
+        up = int(rng.choice([2, 4, 8]))
+        nf = max(up, (int(rng.choice([16, 32, 48, 64])) // up) * up)
+        nb = int(rng.choice([2, 4, 8]))
+        length = int(rng.integers(40, 200))
+        label = f"trial={trial} nc={nc} nf={nf} nb={nb} up={up} L={length}"
+
+        tm = EDSR_1D(num_channels=nc, num_features=nf, num_blocks=nb,
+                     upscale_factor=up)
+        tm.eval()
+        x = rng.standard_normal((2, nc, length)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            EDSR1D(num_channels=nc, num_features=nf, num_blocks=nb,
+                   upscale_factor=up).apply(
+                _import_from_torch_model("edsr", tm), jnp.asarray(x)))
+        assert ours.shape == ref.shape, label
+        _allclose(ours, ref)
+
+
+def test_waveunet_config_space_fuzz(rng):
+    """Randomized Wave-U-Net option space (reference wave_unet.py:35 —
+    n_layers up to the paper's 12, channels_interval) vs the live
+    reference. Input length must be divisible by 2**n_layers (the
+    reference's slicing downsample floors otherwise and its skip-concat
+    crashes)."""
+    from models.wave_unet import Model as TorchWaveUnet
+
+    from stofnet_tpu.models.wave_unet import WaveUnet
+
+    for trial, (nl, ci) in enumerate([(2, 8), (4, 24), (6, 16), (12, 8)]):
+        length = (2 ** nl) * int(rng.integers(2, 6))
+        label = f"trial={trial} n_layers={nl} ci={ci} L={length}"
+
+        tm = TorchWaveUnet(n_layers=nl, channels_interval=ci)
+        tm.eval()
+        x = rng.standard_normal((2, 1, length)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            WaveUnet(n_layers=nl, channels_interval=ci).apply(
+                _import_from_torch_model("unet", tm, n_layers=nl),
+                jnp.asarray(x), train=False))
+        assert ours.shape == ref.shape, label
+        _allclose(ours, ref)
+
+
+def test_kuleshov_num_layers_quirk(rng):
+    """Reference quirk (kuleshov.py:20): num_layers != 4 CRASHES upstream —
+    the bottleneck conv and fc-width arithmetic hard-code the 4-deep
+    filter schedule (negative tensor dims at nl=2, channel mismatches at
+    nl=3). Ours runs at any 1 <= num_layers <= 4 (analytic fc_dimensions);
+    at the only reference-working depth (nl=4) weights transfer exactly
+    (test_kuleshov_parity + the fuzz here)."""
+    from models.kuleshov import Kuleshov as TorchKuleshov
+
+    from stofnet_tpu.models.kuleshov import Kuleshov
+
+    # the reference's crash, pinned (construction or forward)
+    with pytest.raises(RuntimeError):
+        tm = TorchKuleshov(input_length=1024, output_length=4096,
+                           num_layers=2)
+        tm(torch.from_numpy(np.zeros((1, 1, 1024), np.float32)))
+
+    # ours runs and upsamples at the same config
+    m = Kuleshov(input_length=1024, output_length=4096, num_layers=2)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 1, 1024)), train=False)
+    y = m.apply(v, jnp.zeros((2, 1, 1024)), train=False)
+    assert y.shape == (2, 1, 4096)
+
+    # nl=4 at a non-default length: weight-transfer parity holds
+    tm = TorchKuleshov(input_length=2048, output_length=8192, num_layers=4)
+    tm.eval()
+    x = rng.standard_normal((2, 1, 2048)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        Kuleshov(input_length=2048, output_length=8192, num_layers=4).apply(
+            _import_from_torch_model("kuleshov", tm), jnp.asarray(x),
+            train=False))
+    assert ours.shape == ref.shape == (2, 1, 8192)
+    _allclose(ours, ref)
