@@ -317,3 +317,26 @@ def test_kuleshov_num_layers_quirk(rng):
             train=False))
     assert ours.shape == ref.shape == (2, 1, 8192)
     _allclose(ours, ref)
+
+
+def test_espcn_upscale_fuzz(rng):
+    """ESPCN's whole option space is one knob (reference espcn_1d.py:9 —
+    upscale_factor); with this the full documented option space of EVERY
+    model family is fuzz- or golden-pinned (StofNet/EDSR/Wave-U-Net
+    config fuzz, SincNet 8-config goldens, Kuleshov depth quirk, Zonzini
+    fixed nets)."""
+    from models.espcn_1d import ESPCN_1D
+
+    from stofnet_tpu.models.espcn1d import ESPCN1D
+
+    for up in (1, 2, 8):
+        length = int(rng.integers(40, 200))
+        tm = ESPCN_1D(upscale_factor=up)
+        tm.eval()
+        x = rng.standard_normal((2, 1, length)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(ESPCN1D(upscale_factor=up).apply(
+            _import_from_torch_model("espcn", tm), jnp.asarray(x)))
+        assert ours.shape == ref.shape == (2, 1, length * up), f"up={up}"
+        _allclose(ours, ref)
