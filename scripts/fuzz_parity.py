@@ -1,14 +1,16 @@
 """Randomized differential campaign vs the live torch reference (CPU).
 
 Random shapes/params far beyond the committed fuzz tests' fixed seeds,
-across nine op families: mask2coords decode (random window/threshold/
+across ten families: mask2coords decode (random window/threshold/
 upsample/echo budgets, dense and sparse heatmaps, injected ties),
 toa_rmse (ragged validity, random tolerances, NaN/Inf), hilbert
 envelope (odd/even lengths), sample shuffle, heatmap loss (random
 kernel/sigma/amplitude/lambda), find_threshold (both norm modes incl.
 degenerate no-positive draws), GradPeak hysteresis pairing (random echo
 layouts/grad steps/intervals), iq2rf and linear upscale (vs the scipy
-recipe). Usage: ``python scripts/fuzz_parity.py [n_decode_trials] [seed]``;
+recipe), and the StofNet CONFIG SPACE (random architecture options with
+transferred weights vs the live torch model).
+Usage: ``python scripts/fuzz_parity.py [n_decode_trials] [seed]``;
 prints a line per mismatch, exits nonzero if any. Cumulative r3 campaign: >2,100
 trials, 0 mismatches (known reference truncation bugs skipped).
 
@@ -373,6 +375,49 @@ for trial in range(50):
     if not np.allclose(up_ours, up_ref, rtol=1e-3, atol=1e-4):
         report("upscale_1d", f"trial {trial} m={m} f={f}: maxdiff "
                f"{np.abs(up_ours - up_ref).max()}")
+
+# ---- model config space (StofNet options vs live torch, transferred
+# weights; pins the hard-coded conv1/conv_last paddings, stofnet.py:23-24)
+import tempfile
+
+from models.stofnet import StofNet as TorchStofNet
+
+from stofnet_tpu.models.stofnet import StofNet
+from stofnet_tpu.models.torch_import import (load_torch_state_dict,
+                                             state_dict_to_params)
+
+for trial in range(12):
+    runs += 1
+    cfg = dict(
+        upsample_factor=int(rng.choice([1, 2, 4, 8])),
+        num_features=int(rng.choice([8, 16, 32, 64])),
+        num_blocks=int(rng.choice([4, 5, 6, 9, 13])),
+        kernel_sizes=[int(rng.choice([5, 9, 11])),
+                      int(rng.choice([3, 5, 7])),
+                      int(rng.choice([1, 3, 5]))],
+        semi_global_scale=int(rng.choice([1, 10, 20, 80])),
+    )
+    cin = int(rng.choice([1, 2]))
+    sgs = cfg["semi_global_scale"]
+    n = sgs * int(rng.integers(4, 10)) if sgs > 1 else int(
+        rng.integers(50, 400))
+    tm = TorchStofNet(in_channels=cin, **cfg)
+    tm.eval()
+    x = rng.standard_normal((2, cin, n)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        torch.save(tm.state_dict(), f.name)
+        variables = state_dict_to_params(load_torch_state_dict(f.name))
+    ours = np.asarray(StofNet(**cfg).apply(variables, jnp.asarray(x)))
+    if ours.shape != ref.shape:
+        report("stofnet_cfg", f"trial {trial} {cfg} cin={cin} L={n}: "
+               f"shape {ours.shape} vs {ref.shape}")
+    else:
+        dev = np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-6)
+        if dev > 2e-3:
+            report("stofnet_cfg",
+                   f"trial {trial} {cfg} cin={cin} L={n}: rel dev {dev:.2e}")
 
 print(f"done: {runs} trials, {fails} mismatches, "
       f"{skipped_ref_bugs} known-reference-bug rows skipped")

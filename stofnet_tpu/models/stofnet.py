@@ -77,7 +77,25 @@ class StofNet(nn.Module):
     num_blocks: int = 13
     kernel_sizes: Sequence[int] = (9, 7, 3)
     semi_global_scale: int = 80
+    # reference stofnet.py:40,69-77: optional (semi-)orthogonal conv init —
+    # relu gain sqrt(2) on activation layers, gain 1 on residual-schedule
+    # layers and conv_last; biases and the SemiGlobalBlock keep torch
+    # defaults (the reference's _initialize_weights never touches them).
+    # Distributional parity (orthogonality + gain), not bitwise: the rngs
+    # differ. OFF by default, like the reference (never set by its driver).
+    weights_init: bool = False
     dtype: Any = None
+
+    def _conv_kwargs(self, layer_idx, kernel, fan_in):
+        kw = torch_default(kernel, fan_in)
+        if self.weights_init:
+            # the reference's residual list includes num_blocks-1 and
+            # num_blocks (stofnet.py:37), so conv{nb-1} gets gain 1
+            residual = set(range(3, self.num_blocks - 1, 2)) | {
+                self.num_blocks - 1, self.num_blocks}
+            gain = 1.0 if layer_idx in residual else 2.0 ** 0.5
+            kw = dict(kw, kernel_init=nn.initializers.orthogonal(scale=gain))
+        return kw
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -96,7 +114,7 @@ class StofNet(nn.Module):
             nn.Conv(self.num_features, (self.kernel_sizes[0],),
                     padding=((4, 4),),
                     dtype=self.dtype, name="conv1",
-                    **torch_default(self.kernel_sizes[0], 1))(h)
+                    **self._conv_kwargs(1, self.kernel_sizes[0], 1))(h)
         )
 
         if self.semi_global_scale != 1:
@@ -110,8 +128,8 @@ class StofNet(nn.Module):
         for i in range(2, self.num_blocks - 1):
             y = nn.Conv(self.num_features, (self.kernel_sizes[1],),
                         padding="SAME", dtype=self.dtype, name=f"conv{i}",
-                        **torch_default(self.kernel_sizes[1],
-                                        self.num_features))(h)
+                        **self._conv_kwargs(i, self.kernel_sizes[1],
+                                            self.num_features))(h)
             if i in residual_layers:
                 h = res + y
                 res = h
@@ -120,14 +138,16 @@ class StofNet(nn.Module):
 
         y = nn.Conv(self.num_features, (self.kernel_sizes[1],), padding="SAME",
                     dtype=self.dtype, name=f"conv{self.num_blocks - 1}",
-                    **torch_default(self.kernel_sizes[1],
-                                    self.num_features))(h)
+                    **self._conv_kwargs(self.num_blocks - 1,
+                                        self.kernel_sizes[1],
+                                        self.num_features))(h)
         h = res1 + y
 
         h = nn.Conv(self.upsample_factor, (self.kernel_sizes[2],),
                     padding=((1, 1),), dtype=self.dtype, name="conv_last",
-                    **torch_default(self.kernel_sizes[2],
-                                    self.num_features))(h)
+                    **self._conv_kwargs(self.num_blocks,  # plain orthogonal
+                                        self.kernel_sizes[2],
+                                        self.num_features))(h)
 
         h = jnp.transpose(h, (0, 2, 1))  # (B, r, L)
         out = sample_shuffle(h, self.upsample_factor)  # (B, 1, L*r)

@@ -160,3 +160,45 @@ def test_forward_parity_config_space(seed, tmp_path):
         scale = max(np.abs(ref).max(), 1e-6)
         dev = np.abs(ours - ref).max() / scale
         assert dev < 2e-3, f"{label}: rel deviation {dev:.2e}"
+
+
+def test_weights_init_orthogonal():
+    """weights_init=True replicates the reference's _initialize_weights
+    (stofnet.py:40,69-77) DISTRIBUTIONALLY (rngs differ): (semi-)orthogonal
+    conv kernels with relu gain sqrt(2) on activation layers and gain 1 on
+    residual-schedule layers (incl. conv{nb-1}, per the reference's
+    residual list spilling past the loop) and conv_last; biases and the
+    SemiGlobalBlock keep torch defaults (never touched upstream)."""
+    model = StofNet(weights_init=True)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 1, 800)))
+    params = v["params"]
+
+    def gram_gain(kernel):
+        k, i, o = kernel.shape
+        m = np.asarray(kernel).reshape(k * i, o)
+        g = m.T @ m if k * i >= o else m @ m.T  # gain^2 * identity
+        d = float(np.sqrt(np.diag(g).mean()))
+        off = np.abs(g - np.diag(np.diag(g))).max()
+        assert off < 1e-4 * max(1.0, d * d), f"not orthogonal: off={off}"
+        return d
+
+    sqrt2 = 2.0 ** 0.5
+    assert abs(gram_gain(params["conv1"]["kernel"]) - sqrt2) < 1e-3
+    assert abs(gram_gain(params["conv2"]["kernel"]) - sqrt2) < 1e-3
+    assert abs(gram_gain(params["conv3"]["kernel"]) - 1.0) < 1e-3  # residual
+    assert abs(gram_gain(params["conv12"]["kernel"]) - 1.0) < 1e-3  # nb-1
+    assert abs(gram_gain(params["conv_last"]["kernel"]) - 1.0) < 1e-3
+
+    # SGB convs are NOT orthogonalized (torch-default uniform)
+    w = np.asarray(params["semi_global_block"]["contract_conv"]["kernel"])
+    m = w.reshape(-1, w.shape[-1])
+    g = m.T @ m
+    off = np.abs(g - np.diag(np.diag(g))).max()
+    assert off > 1e-3, "SGB conv unexpectedly orthogonal"
+
+    # default stays the torch-default init (existing goldens/parity rely
+    # on it); weights_init only changes kernels
+    v0 = StofNet().init(jax.random.key(1), jnp.zeros((1, 1, 800)))
+    b1 = np.asarray(v0["params"]["conv1"]["bias"])
+    b2 = np.asarray(params["conv1"]["bias"])
+    np.testing.assert_array_equal(b1, b2)
