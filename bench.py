@@ -44,8 +44,11 @@ re-execs the whole process (fresh interpreter, fresh axon chip claim) up to
 3 attempts with a 120 s wedge-recovery wait — a wedged claim poisons the
 backend for the whole process, so only a re-exec can recover it. A fetch
 that HANGS instead of raising (the observed full-outage failure mode) trips
-a 720 s watchdog (``FETCH_TIMEOUT_S``) so the process always reaches the
-belt instead of blocking until the driver's kill. If even the re-exec
+a 720 s watchdog (``FETCH_TIMEOUT_S``): every mode's first device contact
+(``setup()``) and every gate/warmup fetch escalate to the belt instead of
+blocking until the driver's kill (a MID-run relay death inside a raw timed
+loop can still hang — accepted: never observed, and watchdogging the timed
+fetches would perturb the measurement). If even the re-exec
 budget is exhausted (r3 saw a multi-hour relay outage no bounded retry
 can bridge), the last hardware-validated record for the mode is served from
 ``BENCH_LAST_GOOD.json`` with ``stale: true`` + ``stale_reason`` +
@@ -151,6 +154,24 @@ FETCH_TIMEOUT_S = float(os.environ.get("STOFNET_BENCH_FETCH_TIMEOUT_S",
 TIMEOUT_PROCESS_ATTEMPTS = 2
 
 
+def _relay_shaped(e: Exception) -> bool:
+    """Only environment faults may be answered with the stale cache — a
+    deterministic code bug (AttributeError in new bench code, an OOM on
+    the main path, ...) must keep failing loudly with rc=1, not be
+    laundered into an rc=0 'benchmark result'. Relay faults are untyped
+    (JaxRuntimeError wrapping transport errors), so match the observed
+    fault text: r2's gate death was FAILED_PRECONDITION; full outages
+    present as FetchTimeout hangs."""
+    if isinstance(e, FetchTimeout):
+        return True
+    msg = f"{type(e).__name__}: {e}"
+    import re
+
+    return re.search(
+        r"FAILED_PRECONDITION|UNAVAILABLE|DEADLINE|unreachable|"
+        r"connection|socket|relay|axon|claim", msg, re.IGNORECASE) is not None
+
+
 def _call_with_watchdog(thunk, timeout_s: float, what: str):
     """Run thunk on a worker thread; if it is still blocked after
     ``timeout_s`` raise :class:`FetchTimeout` in the caller. The worker
@@ -231,7 +252,7 @@ def respawn_on_failure(fn, mode: str) -> None:
         log(f"bench attempt {attempt}/{budget} died: "
             f"{type(e).__name__}: {str(e)[:300]}")
         if attempt >= budget:
-            entry = _load_cache().get(mode)
+            entry = (_load_cache().get(mode) if _relay_shaped(e) else None)
             if entry is not None:
                 log(f"relay unreachable after {attempt} process "
                     f"attempts; serving the LAST HARDWARE-VALIDATED "
@@ -263,6 +284,16 @@ def setup():
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
+
+    # first-contact probe UNDER THE WATCHDOG: in the observed full-outage
+    # mode jax.devices() still answers but the first real fetch hangs
+    # forever (docs/BENCH_r03_builder.md). Every mode calls setup(), so a
+    # start-of-run outage always escalates to the respawn/stale belt here
+    # instead of hanging modes whose later fetches are raw timed loops
+    # (a MID-run relay death in those loops can still ride until the
+    # driver's kill — accepted, it has never been observed).
+    fetch(lambda: float(np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)[0]),
+          "first device contact")
 
     ckpt = "/root/reference/ckpts/different-armadillo-1439_rf-scale10_epoch_46.pth"
     try:
@@ -334,6 +365,8 @@ def try_packed_pipeline(variables, overrides, x, coords_ref):
         agree = np.mean(np.abs(coords_ref - cp) <= 1.0)
         log(f"packed pipeline: coord agreement {agree:.4f}")
         return pipe if agree >= 0.99 else None
+    except FetchTimeout:
+        raise  # poisoned claim: escalate to the belt
     except Exception as e:
         log(f"packed pipeline failed ({type(e).__name__}: {str(e)[:120]})")
         return None
@@ -359,6 +392,8 @@ def try_int8_pipeline(variables, overrides, x, coords_ref):
 
     try:
         q = quantize_stofnet(variables, x, **overrides)
+    except FetchTimeout:
+        raise
     except Exception as e:  # noqa: BLE001
         log(f"int8 calibration failed ({type(e).__name__}: {str(e)[:120]})")
         return None
@@ -384,6 +419,8 @@ def try_int8_pipeline(variables, overrides, x, coords_ref):
             if agree >= 0.99:
                 return pipe
             return None  # agreement is impl-independent: don't retry
+        except FetchTimeout:
+            raise
         except Exception as e:  # noqa: BLE001
             log(f"int8-sgb pipeline ({impl}) failed "
                 f"({type(e).__name__}: {str(e)[:120]})")
@@ -418,6 +455,8 @@ def try_fused_pipeline(variables, overrides, x, coords_ref):
             agree = np.mean(np.abs(coords_ref - cf) <= 1.0)
             log(f"pallas fused pipeline: coord agreement {agree:.4f}")
             return pipe_fused if agree >= 0.99 else None
+        except FetchTimeout:
+            raise  # not a Mosaic outage: the claim is poisoned
         except Exception as e:
             log(f"pallas compile attempt {attempt}/{MOSAIC_RETRIES} failed "
                 f"({type(e).__name__}: {str(e)[:120]})")
@@ -763,6 +802,8 @@ def length_scaling() -> None:
             curve[f"L{length}"] = round(sps / 1e6, 1)
             log(f"L={length} B={batch} k={k}: {dt * 1e3:.2f} ms/batch -> "
                 f"{wf_s:.1f} wf/s = {sps / 1e6:.1f} Msamples/s")
+        except FetchTimeout:
+            raise  # poisoned claim: escalate instead of burning 720 s/point
         except Exception as e:
             curve[f"L{length}"] = f"{type(e).__name__}"
             log(f"L={length}: {type(e).__name__}: {str(e)[:100]}")
@@ -877,6 +918,8 @@ def scaling() -> None:
             curve[f"b{batch}"] = round(wf_s, 1)
             log(f"B={batch} k={k}: {dt * 1e3:.2f} ms/batch "
                 f"-> {wf_s:.1f} wf/s")
+        except FetchTimeout:
+            raise  # poisoned claim: escalate instead of burning 720 s/point
         except Exception as e:
             curve[f"b{batch}"] = f"{type(e).__name__}"
             log(f"B={batch}: {type(e).__name__}")
@@ -935,6 +978,8 @@ def main() -> None:
             wf_packed, dtp = sustained_wf_s(pipe_packed, variables, BATCH, 50)
             log(f"stream B={BATCH} k=50 (packed): {dtp * 1e3:.2f} ms/batch "
                 f"-> {wf_packed:.1f} wf/s")
+        except FetchTimeout:
+            raise
         except Exception:
             log("packed stream failed; xla path stands")
 
@@ -949,6 +994,8 @@ def main() -> None:
             wf_int8, dti = sustained_wf_s(pipe_int8, variables, BATCH, 50)
             log(f"stream B={BATCH} k=50 (int8-sgb): {dti * 1e3:.2f} ms/batch "
                 f"-> {wf_int8:.1f} wf/s")
+        except FetchTimeout:
+            raise
         except Exception:
             log("int8-sgb stream failed; xla path stands")
 
@@ -961,6 +1008,8 @@ def main() -> None:
             wf_fused, dtf = sustained_wf_s(pipe_fused, variables, BATCH, 50)
             log(f"stream B={BATCH} k=50 (pallas-fused): {dtf * 1e3:.2f} "
                 f"ms/batch -> {wf_fused:.1f} wf/s")
+        except FetchTimeout:
+            raise
         except Exception as e:
             log(f"fused stream failed ({type(e).__name__}); xla path stands")
 
@@ -983,6 +1032,8 @@ def main() -> None:
         wf_host = host_fed_wf_s(pipe_xla, variables,
                                 [make_input(BATCH) for _ in range(4)])
         log(f"host-fed B={BATCH} (incl. relay transfer): {wf_host:.1f} wf/s")
+    except FetchTimeout:
+        raise
     except Exception as e:  # noqa: BLE001 - least important key; keep headline
         log(f"host-fed measurement failed after retries "
             f"({type(e).__name__}); reporting null")

@@ -388,19 +388,8 @@ from stofnet_tpu.models.torch_import import (load_torch_state_dict,
 
 for trial in range(12):
     runs += 1
-    cfg = dict(
-        upsample_factor=int(rng.choice([1, 2, 4, 8])),
-        num_features=int(rng.choice([8, 16, 32, 64])),
-        num_blocks=int(rng.choice([4, 5, 6, 9, 13])),
-        kernel_sizes=[int(rng.choice([5, 9, 11])),
-                      int(rng.choice([3, 5, 7])),
-                      int(rng.choice([1, 3, 5]))],
-        semi_global_scale=int(rng.choice([1, 10, 20, 80])),
-    )
-    cin = int(rng.choice([1, 2]))
-    sgs = cfg["semi_global_scale"]
-    n = sgs * int(rng.integers(4, 10)) if sgs > 1 else int(
-        rng.integers(50, 400))
+    # one shared sampling rule with the pytest fuzz (tests/reference.py)
+    cfg, cin, n = refmod.sample_stofnet_config(rng)
     tm = TorchStofNet(in_channels=cin, **cfg)
     tm.eval()
     x = rng.standard_normal((2, cin, n)).astype(np.float32)

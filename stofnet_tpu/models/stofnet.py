@@ -114,7 +114,11 @@ class StofNet(nn.Module):
             nn.Conv(self.num_features, (self.kernel_sizes[0],),
                     padding=((4, 4),),
                     dtype=self.dtype, name="conv1",
-                    **self._conv_kwargs(1, self.kernel_sizes[0], 1))(h)
+                    # fan_in from the actual input channels (in_channels>1
+                    # is part of the reference option space) so torch
+                    # from-scratch init parity holds for multi-channel too
+                    **self._conv_kwargs(1, self.kernel_sizes[0],
+                                        h.shape[-1]))(h)
         )
 
         if self.semi_global_scale != 1:

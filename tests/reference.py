@@ -32,3 +32,28 @@ def ckpt_path(prefix: str):
         if fn.name.startswith(prefix.split("_")[0]):
             return fn
     return None
+
+
+def sample_stofnet_config(rng):
+    """One random draw from the StofNet option space (models/stofnet.py:11).
+
+    Shared by tests/test_model_stofnet.py::test_forward_parity_config_space
+    and scripts/fuzz_parity.py's config-space family so the two campaigns'
+    sampling rules cannot drift. Returns (cfg_kwargs, in_channels, length);
+    lengths are multiples of semi_global_scale when the SGB is on (the
+    reference crashes on odd residual padding otherwise — both frameworks
+    reject those, pinned separately)."""
+    cfg = dict(
+        upsample_factor=int(rng.choice([1, 2, 4, 8])),
+        num_features=int(rng.choice([8, 16, 32, 64])),
+        num_blocks=int(rng.choice([4, 5, 6, 9, 13])),
+        kernel_sizes=[int(rng.choice([5, 9, 11])),
+                      int(rng.choice([3, 5, 7])),
+                      int(rng.choice([1, 3, 5]))],
+        semi_global_scale=int(rng.choice([1, 10, 20, 80])),
+    )
+    cin = int(rng.choice([1, 2]))
+    sgs = cfg["semi_global_scale"]
+    length = (sgs * int(rng.integers(4, 10)) if sgs > 1
+              else int(rng.integers(50, 400)))
+    return cfg, cin, length

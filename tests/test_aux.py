@@ -280,6 +280,19 @@ def test_bench_stale_fallback(monkeypatch, tmp_path, capsys):
     with pytest.raises(bench.ShapeRegression):
         bench.respawn_on_failure(regressed, "headline")
 
+    # any non-relay-shaped repeated failure (a code bug: AttributeError,
+    # TypeError, an OOM in new bench code) also re-raises with rc=1 —
+    # the stale cache answers ENVIRONMENT faults only (review finding)
+    def code_bug():
+        raise AttributeError("'NoneType' object has no attribute 'apply'")
+
+    with pytest.raises(AttributeError):
+        bench.respawn_on_failure(code_bug, "headline")
+    assert not bench._relay_shaped(TypeError("bad arg"))
+    assert bench._relay_shaped(bench.FetchTimeout("gate: still blocked"))
+    assert bench._relay_shaped(
+        RuntimeError("FAILED_PRECONDITION: TPU backend error"))
+
 
 def test_bench_hang_watchdog(monkeypatch, tmp_path, capsys):
     """A fetch that HANGS (the observed full-outage failure mode: the first

@@ -129,19 +129,7 @@ def test_forward_parity_config_space(seed, tmp_path):
 
     rng = np.random.default_rng(seed)
     for trial in range(8):
-        cfg = dict(
-            upsample_factor=int(rng.choice([1, 2, 4, 8])),
-            num_features=int(rng.choice([8, 16, 32, 64])),
-            num_blocks=int(rng.choice([4, 5, 6, 9, 13])),
-            kernel_sizes=[int(rng.choice([5, 9, 11])),
-                          int(rng.choice([3, 5, 7])),
-                          int(rng.choice([1, 3, 5]))],
-            semi_global_scale=int(rng.choice([1, 10, 20, 80])),
-        )
-        cin = int(rng.choice([1, 2]))
-        sgs = cfg["semi_global_scale"]
-        length = sgs * int(rng.integers(4, 10)) if sgs > 1 else int(
-            rng.integers(50, 400))
+        cfg, cin, length = reference.sample_stofnet_config(rng)
         label = f"seed={seed} trial={trial} cfg={cfg} cin={cin} L={length}"
 
         tm = TorchStofNet(in_channels=cin, **cfg)
