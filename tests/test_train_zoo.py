@@ -367,3 +367,155 @@ class TestAccum:
         assert np.isfinite(b).all(), "accum step poisoned the params"
         diff = np.abs(a - b)
         assert np.mean(diff < 1e-5) > 0.999 and diff.max() < 2 * 5e-4
+
+
+def test_stofnet_gradient_parity_vs_torch(rng):
+    """Per-parameter GRADIENT golden: the full backward pass (13 conv
+    transposed-kernel grads, SemiGlobalBlock max-pool argmax routing +
+    nearest-upsample scatter, leaky slopes, the residual schedule's fan-in
+    accumulation) against torch autograd on the SAME weights
+    (different-armadillo), SAME batch, SAME loss (main.py:224-232 recipe).
+    TRAINPARITY.md proves converged-quality equivalence; this pins the
+    per-step math itself."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from utils.gaussian import gaussian_kernel as ref_gauss
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.models.torch_import import (import_stofnet,
+                                                 params_to_state_dict)
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    path = reference.ckpt_path("different-armadillo")
+    if path is None:
+        pytest.skip("reference checkpoints unavailable")
+    variables, overrides = import_stofnet(str(path))
+    model = StofNet(**overrides)
+
+    from models.stofnet import StofNet as TorchStofNet
+
+    tm = TorchStofNet()
+    tm.load_state_dict(torch.load(str(path), map_location="cpu",
+                                  weights_only=True))
+    tm.train()  # grads; StofNet has no BN/dropout so forward is identical
+
+    b, length, up = 2, 800, 4
+    x = rng.standard_normal((b, 1, length)).astype(np.float32)
+    x /= np.abs(x).max()
+    gt_sample = rng.uniform(5, length - 5, size=(b, 1)).astype(np.float32)
+    gt_true = np.round(gt_sample[:, None] * up).astype(np.int64)  # (B,1,1)
+
+    # torch: reference loss recipe verbatim (as in the loss golden)
+    out = tm(torch.from_numpy(x))
+    k = torch.tensor(ref_gauss(7, 1.0), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, length * up))
+    blur = F.conv1d(masks_true, k, padding=3)
+    blur = blur / blur.max() * 20.0
+    loss_t = (F.mse_loss(out.squeeze(1), blur.squeeze(1))
+              + 1e-2 * out.squeeze(1).abs().mean())
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters()}
+
+    # jax: same loss through our pipeline, grad over the params tree
+    def loss_fn(params):
+        pred = model.apply({"params": params}, jnp.asarray(x))
+        loss, _ = heatmap_loss(pred, jnp.asarray(gt_true), kernel_size=7,
+                               sigma=1.0, mask_amplitude=20.0,
+                               lambda_value=1e-2)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    # the grads tree mirrors the params tree, so the torch exporter maps
+    # it to torch names/layout directly
+    grad_sd = params_to_state_dict({"params": grads})
+    assert set(grad_sd) == set(ref_grads)
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32)
+        assert g.shape == g_ref.shape, name
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"gradient mismatch on {name}")
+
+
+def test_edsr_gradient_parity_vs_torch(rng):
+    """Same per-parameter gradient golden for EDSR (proud-cherry weights):
+    exercises the PixelShuffle1D backward and the ResBlock residual-scale
+    accumulation against torch autograd."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from utils.gaussian import gaussian_kernel as ref_gauss
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    from stofnet_tpu.models import build_model, import_checkpoint
+    from stofnet_tpu.models.registry import _interop_spec
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    path = reference.ckpt_path("proud-cherry")
+    if path is None:
+        pytest.skip("ckpt missing")
+    model, _ = build_model("edsr", upsample_factor=4)
+    variables = import_checkpoint("edsr", str(path))
+
+    from models.edsr_1d import EDSR_1D
+
+    tm = EDSR_1D(num_channels=1, num_features=64, num_blocks=8,
+                 upscale_factor=4)
+    tm.load_state_dict(torch.load(str(path), map_location="cpu",
+                                  weights_only=True))
+    tm.train()
+
+    b, length, up = 2, 800, 4
+    x = rng.standard_normal((b, 1, length)).astype(np.float32)
+    x /= np.abs(x).max()
+    gt_true = np.round(rng.uniform(5, length - 5, size=(b, 1))[:, None]
+                       * up).astype(np.int64)
+
+    out = tm(torch.from_numpy(x))
+    k = torch.tensor(ref_gauss(7, 1.0), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, length * up))
+    blur = F.conv1d(masks_true, k, padding=3)
+    blur = blur / blur.max() * 20.0
+    loss_t = (F.mse_loss(out.squeeze(1), blur.squeeze(1))
+              + 1e-2 * out.squeeze(1).abs().mean())
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters()}
+
+    def loss_fn(params):
+        pred = model.apply({"params": params}, jnp.asarray(x))
+        loss, _ = heatmap_loss(pred, jnp.asarray(gt_true), kernel_size=7,
+                               sigma=1.0, mask_amplitude=20.0,
+                               lambda_value=1e-2)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    _, unrewrite, _ = _interop_spec("edsr")
+    grad_sd = {unrewrite(kk): v for kk, v in
+               params_to_state_dict({"params": grads}).items()}
+    assert set(grad_sd) == set(ref_grads)
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32)
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"gradient mismatch on {name}")
