@@ -142,13 +142,49 @@ def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
 def import_stofnet(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load a StofNet .pth; returns (variables, config_overrides).
 
-    Detects the no-SemiGlobalBlock ablation (26-tensor checkpoints such as
-    clean-serenity / breezy-violet) and reports ``semi_global_scale=1``.
+    The FULL architecture is inferred from tensor shapes (torch Conv1d
+    weight layout (O, I, K)), so arbitrary-config checkpoints — e.g. ones
+    exported from this framework's own option space — round-trip without
+    sidecar metadata: ``upsample_factor`` (conv_last out-channels),
+    ``num_features`` (conv1 out-channels), ``num_blocks`` (highest conv{i}
+    index + 1), ``kernel_sizes`` (conv1/conv2/conv_last K dims), and
+    ``semi_global_scale`` (contract-conv width / num_features * 10 — the
+    reference's feat_scale = max(1, scale // 10), models/stofnet.py:85;
+    exact for the decade scales everyone uses, while scales 11-19 are
+    shape-ambiguous and infer as 10: pass semi_global_scale explicitly for
+    those). The no-SGB ablation (26-tensor checkpoints such as
+    clean-serenity / breezy-violet) reports ``semi_global_scale=1``.
+
+    Only non-default values are emitted (plus ``upsample_factor``, always),
+    so default-architecture checkpoints keep the historical
+    ``{"upsample_factor": N}`` shape that downstream consumers
+    (models/fused.py, models/int8.py pipelines) accept as kwargs.
     """
     sd = load_torch_state_dict(path)
     has_sgb = any(k.startswith("semi_global_block.") for k in sd)
     variables = state_dict_to_params(sd)
-    overrides = {} if has_sgb else {"semi_global_scale": 1}
-    upsample = sd["conv_last.weight"].shape[0]
-    overrides["upsample_factor"] = int(upsample)
+
+    o_last, _, k_last = sd["conv_last.weight"].shape
+    o1, _, k1 = sd["conv1.weight"].shape
+    conv_ids = [int(k[4:].split(".")[0]) for k in sd
+                if k.startswith("conv") and k.endswith(".weight")
+                and k[4:].split(".")[0].isdigit()]
+    num_blocks = max(conv_ids) + 1
+    k_mid = int(sd["conv2.weight"].shape[-1]) if "conv2.weight" in sd else 7
+
+    overrides: Dict[str, Any] = {"upsample_factor": int(o_last)}
+    if int(o1) != 64:
+        overrides["num_features"] = int(o1)
+    if num_blocks != 13:
+        overrides["num_blocks"] = int(num_blocks)
+    if [int(k1), k_mid, int(k_last)] != [9, 7, 3]:
+        overrides["kernel_sizes"] = [int(k1), k_mid, int(k_last)]
+    if not has_sgb:
+        overrides["semi_global_scale"] = 1
+    else:
+        feat_scale = (sd["semi_global_block.contract_conv.weight"].shape[0]
+                      // int(o1))
+        scale = max(feat_scale, 1) * 10
+        if scale != 80:
+            overrides["semi_global_scale"] = int(scale)
     return variables, overrides

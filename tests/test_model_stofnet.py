@@ -190,3 +190,52 @@ def test_weights_init_orthogonal():
     b1 = np.asarray(v0["params"]["conv1"]["bias"])
     b2 = np.asarray(params["conv1"]["bias"])
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_import_infers_full_architecture(rng, tmp_path):
+    """import_stofnet infers the FULL architecture from tensor shapes, so an
+    arbitrary-config .pth round-trips with no sidecar config: the model is
+    rebuilt from the inferred overrides ALONE and must reproduce the torch
+    forward. Default-architecture checkpoints keep the historical
+    {"upsample_factor": N} overrides shape (downstream pipelines pass it
+    as kwargs)."""
+    if torch is None or not reference.available():
+        pytest.skip("torch/reference unavailable")
+    from models.stofnet import StofNet as TorchStofNet
+
+    for trial in range(6):
+        cfg, cin, length = reference.sample_stofnet_config(rng)
+        if cfg["semi_global_scale"] == 1 and trial % 2:
+            cfg["semi_global_scale"] = 80  # exercise the SGB-present branch
+            length = 80 * int(rng.integers(4, 8))
+        tm = TorchStofNet(in_channels=cin, **cfg)
+        tm.eval()
+        pth = tmp_path / f"arch_{trial}.pth"
+        torch.save(tm.state_dict(), str(pth))
+
+        variables, overrides = import_stofnet(str(pth))
+        # inference must reconstruct the real config (defaults omitted)
+        merged = dict(upsample_factor=4, num_features=64, num_blocks=13,
+                      kernel_sizes=[9, 7, 3], semi_global_scale=80)
+        merged.update(overrides)
+        assert merged["upsample_factor"] == cfg["upsample_factor"]
+        assert merged["num_features"] == cfg["num_features"]
+        assert merged["num_blocks"] == cfg["num_blocks"]
+        assert list(merged["kernel_sizes"]) == list(cfg["kernel_sizes"])
+        assert merged["semi_global_scale"] == cfg["semi_global_scale"]
+
+        x = rng.standard_normal((2, cin, length)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(StofNet(**overrides).apply(variables,
+                                                     jnp.asarray(x)))
+        assert ours.shape == ref.shape, f"trial={trial} cfg={cfg}"
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(ours - ref).max() / scale < 2e-3, f"trial={trial}"
+
+    # default-arch checkpoint: historical overrides shape preserved
+    tm = TorchStofNet()
+    pth = tmp_path / "default.pth"
+    torch.save(tm.state_dict(), str(pth))
+    _, overrides = import_stofnet(str(pth))
+    assert overrides == {"upsample_factor": 4}
