@@ -7,6 +7,10 @@ main.py:291-347); see ``stofnet_tpu/serve.py`` for the design. Usage::
         out=stofnet_b128.jaxexp batch=128 length=8000 [th=Null]
         [ckpt_dir=...] [platforms=cpu,tpu] [max_echoes=64] [window_size=20]
 
+``batch=b`` (any symbolic name) exports one BATCH-POLYMORPHIC artifact
+that serves every batch size; length stays static (the decode top_k and
+SGB pooling are length-specialized — export one artifact per length).
+
 The artifact bakes the checkpoint's weights in; serve it with::
 
     from stofnet_tpu.serve import load_pipeline
@@ -97,9 +101,14 @@ def main(argv: Optional[List[str]] = None) -> str:
         if calib.ndim != 3 or calib.shape[1] != 1:
             raise SystemExit(f"int8_calib must be a (B, 1, L) array, got "
                              f"{calib.shape}")
+    # batch=b (any non-numeric name) exports ONE batch-polymorphic
+    # artifact via jax.export symbolic shapes; an int pins the batch
+    batch = args.get("batch", 128)
+    batch = str(batch) if isinstance(batch, str) and not str(
+        batch).isdigit() else int(batch)
     blob = export_pipeline(
         variables, overrides,
-        int(args.get("batch", 128)), int(args.get("length", 8000)),
+        batch, int(args.get("length", 8000)),
         platforms=platforms,
         window_size=int(args.get("window_size", 20)),
         threshold=None if th in (None, "Null") else float(th),

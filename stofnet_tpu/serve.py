@@ -80,18 +80,23 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
 
 
 def export_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
-                    batch: int, length: int,
+                    batch: int | str, length: int,
                     *, platforms: Sequence[str] = ("cpu", "tpu"),
                     **pipe_kwargs) -> bytes:
-    """Serialize the pipeline for a fixed (batch, 1, length) f32 input.
+    """Serialize the pipeline for a (batch, 1, length) f32 input.
 
-    Static shapes are deliberate (the TPU serving contract); export one
-    artifact per serving shape — they are small (weights + ~35 kB HLO).
-    """
+    The LENGTH stays static (the TPU serving contract: the decode's top_k
+    and the SemiGlobalBlock pooling are length-specialized); ``batch`` may
+    be an int (one artifact per batch size) or a symbolic-dimension name
+    such as ``"b"`` — then ONE artifact serves every batch size
+    (jax.export shape polymorphism; decoded coords verified bit-exact vs
+    the direct pipeline at B=1/3/8, tests/test_serve.py)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
+    if isinstance(batch, str):
+        batch = jexport.symbolic_shape(batch)[0]
     pipe = make_pipeline(variables, overrides, **pipe_kwargs)
     exp = jexport.export(jax.jit(pipe), platforms=tuple(platforms))(
         jax.ShapeDtypeStruct((batch, 1, length), jnp.float32))

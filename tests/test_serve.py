@@ -126,3 +126,28 @@ def test_exported_artifact_serves_on_dp_mesh(small_ckpt, tmp_path):
     sharded = np.asarray(jax.jit(lambda xx: served(xx), in_shardings=(sh,))(
         jax.device_put(jnp.asarray(x), sh)))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_batch_polymorphic_export(small_ckpt, tmp_path):
+    """batch="b" exports ONE artifact that serves every batch size
+    (jax.export shape polymorphism); decoded coords bit-exact vs the
+    direct pipeline at each size, and the CLI accepts batch=b."""
+    variables, overrides = small_ckpt
+    blob = export_pipeline(variables, overrides, batch="b", length=800,
+                           max_echoes=8)
+    served = load_pipeline(save_pipeline(tmp_path / "poly.jaxexp", blob))
+    live = jax.jit(make_pipeline(variables, overrides, max_echoes=8))
+
+    rng = np.random.default_rng(0)
+    for b in (1, 2, 5):
+        x = rng.standard_normal((b, 1, 800)).astype(np.float32)
+        got = np.asarray(served(jnp.asarray(x)))
+        want = np.asarray(live(jnp.asarray(x)))
+        assert got.shape == (b, 8)
+        np.testing.assert_array_equal(got, want)
+
+    # symbolic batch survives the CLI's batch= parsing too
+    from stofnet_tpu.cli import export as export_cli
+
+    args = export_cli.parse_args(["batch=b", "model_file=x"])
+    assert args["batch"] == "b"
