@@ -151,3 +151,17 @@ def test_batch_polymorphic_export(small_ckpt, tmp_path):
 
     args = export_cli.parse_args(["batch=b", "model_file=x"])
     assert args["batch"] == "b"
+
+    # int8-SGB composes with the symbolic batch: per-WAVEFORM activation
+    # scales are row-local by design (decode independent of batch
+    # composition), which is exactly what batch polymorphism needs
+    calib = rng.standard_normal((4, 1, 800)).astype(np.float32)
+    blob8 = export_pipeline(variables, overrides, batch="b", length=800,
+                            max_echoes=8, int8_calib=calib)
+    served8 = load_pipeline(save_pipeline(tmp_path / "pi8.jaxexp", blob8))
+    live8 = jax.jit(make_pipeline(variables, overrides, max_echoes=8,
+                                  int8_calib=calib))
+    for b in (1, 5):
+        x = rng.standard_normal((b, 1, 800)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(served8(jnp.asarray(x))),
+                                      np.asarray(live8(jnp.asarray(x))))
