@@ -519,3 +519,98 @@ def test_edsr_gradient_parity_vs_torch(rng):
         np.testing.assert_allclose(
             g, g_ref, rtol=2e-3, atol=2e-4 * scale,
             err_msg=f"gradient mismatch on {name}")
+
+
+def test_sincnet_gradient_parity_vs_torch(rng):
+    """Gradient golden for SincNet (pretty-brook): the sinc FILTERBANK is
+    rebuilt from (low_hz_, band_hz_) every forward, so their grads flow
+    through the bandpass construction — plus BatchNorm scale/bias grads
+    (eval-mode running stats on both sides for determinism). Same
+    heatmap loss (upsample 1, the driver's sincnet protocol)."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+    import collections, collections.abc
+
+    if not hasattr(collections, "Sequence"):
+        collections.Sequence = collections.abc.Sequence
+    import torch.nn.functional as F
+    from utils.gaussian import gaussian_kernel as ref_gauss
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    from stofnet_tpu.models import build_model, import_checkpoint
+    from stofnet_tpu.models.sincnet import (BATCHNORM_MODULES,
+                                            rewrite_flax_key)
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    path = reference.ckpt_path("pretty-brook")
+    if path is None:
+        pytest.skip("ckpt missing")
+
+    rf_scale = 10
+    length = 1000 * rf_scale
+    fs = 1.953125e6 * rf_scale
+    from models.sincnet import SincNet as TorchSincNet
+
+    tm = TorchSincNet({
+        "input_dim": length, "fs": fs,
+        "cnn_N_filt": [128, 128, 128, 1],
+        "cnn_len_filt": [1023, 11, 9, 7],
+        "cnn_max_pool_len": [1, 1, 1, 1],
+        "cnn_use_laynorm_inp": False, "cnn_use_batchnorm_inp": False,
+        "cnn_use_laynorm": [False] * 4, "cnn_use_batchnorm": [True] * 4,
+        "cnn_act": ["leaky_relu"] * 3 + ["linear"],
+        "cnn_drop": [0.0] * 4, "use_sinc": True,
+    })
+    tm.load_state_dict(torch.load(str(path), map_location="cpu",
+                                  weights_only=True))
+    tm.eval()  # running-stat BN on both sides: deterministic grads
+
+    model, _ = build_model("sincnet", fs=fs / rf_scale,
+                           rf_scale_factor=rf_scale)
+    variables = import_checkpoint("sincnet", str(path))
+
+    b = 2
+    x = rng.standard_normal((b, 1, length)).astype(np.float32)
+    x /= np.abs(x).max()
+    gt_true = np.round(rng.uniform(5, length - 5,
+                                   size=(b, 1))[:, None]).astype(np.int64)
+
+    out = tm(torch.from_numpy(x))
+    k = torch.tensor(ref_gauss(7, 1.0), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, length))
+    blur = F.conv1d(masks_true, k, padding=3)
+    blur = blur / blur.max() * 20.0
+    loss_t = (F.mse_loss(out.squeeze(1), blur.squeeze(1))
+              + 1e-2 * out.squeeze(1).abs().mean())
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters() if p.grad is not None}
+
+    def loss_fn(params):
+        pred = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x))  # train=False: running stats, like tm.eval()
+        loss, _ = heatmap_loss(pred, jnp.asarray(gt_true), kernel_size=7,
+                               sigma=1.0, mask_amplitude=20.0,
+                               lambda_value=1e-2)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+
+    grad_sd = {rewrite_flax_key(kk): v for kk, v in params_to_state_dict(
+        {"params": grads}, batchnorm_modules=BATCHNORM_MODULES).items()}
+    missing = set(ref_grads) - set(grad_sd)
+    assert not missing, f"grads missing for {sorted(missing)[:4]}"
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32).reshape(g_ref.shape)
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=5e-3, atol=1e-3 * scale,
+            err_msg=f"gradient mismatch on {name}")
