@@ -614,3 +614,83 @@ def test_sincnet_gradient_parity_vs_torch(rng):
         np.testing.assert_allclose(
             g, g_ref, rtol=5e-3, atol=1e-3 * scale,
             err_msg=f"gradient mismatch on {name}")
+
+
+def test_waveunet_gradient_parity_vs_torch(rng):
+    """Gradient golden for Wave-U-Net: the slicing downsample's scatter
+    backward, align_corners-interpolation backward, skip-concat routing
+    into both encoder and decoder branches, and BN scale/bias grads
+    (eval-mode running stats both sides; random seeded weights — no ckpt
+    ships upstream). Driver protocol: upsample folded into the input, so
+    the heatmap loss runs at upsample 1."""
+    import tempfile
+
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from utils.gaussian import gaussian_kernel as ref_gauss
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    from stofnet_tpu.models import import_checkpoint
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+    from stofnet_tpu.models.wave_unet import (batchnorm_modules,
+                                              rewrite_flax_key)
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    from models.wave_unet import Model as TorchWaveUnet
+
+    torch.manual_seed(0)
+    n_layers = 2
+    tm = TorchWaveUnet(n_layers=n_layers, channels_interval=16)
+    tm.eval()
+
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        torch.save(tm.state_dict(), f.name)
+        variables = import_checkpoint("unet", f.name, n_layers=n_layers)
+
+    model = WaveUnet(n_layers=n_layers, channels_interval=16)
+    b, length = 2, 400
+    x = rng.standard_normal((b, 1, length)).astype(np.float32)
+    x /= np.abs(x).max()
+    gt_true = np.round(rng.uniform(5, length - 5,
+                                   size=(b, 1))[:, None]).astype(np.int64)
+
+    out = tm(torch.from_numpy(x))
+    k = torch.tensor(ref_gauss(7, 1.0), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, length))
+    blur = F.conv1d(masks_true, k, padding=3)
+    blur = blur / blur.max() * 20.0
+    loss_t = (F.mse_loss(out.squeeze(1), blur.squeeze(1))
+              + 1e-2 * out.squeeze(1).abs().mean())
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters() if p.grad is not None}
+
+    def loss_fn(params):
+        pred = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=False)
+        loss, _ = heatmap_loss(pred, jnp.asarray(gt_true), kernel_size=7,
+                               sigma=1.0, mask_amplitude=20.0,
+                               lambda_value=1e-2)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+
+    bn = batchnorm_modules(n_layers)
+    grad_sd = {rewrite_flax_key(kk): v for kk, v in params_to_state_dict(
+        {"params": grads}, batchnorm_modules=bn).items()}
+    missing = set(ref_grads) - set(grad_sd)
+    assert not missing, f"grads missing for {sorted(missing)[:4]}"
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32).reshape(g_ref.shape)
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=5e-3, atol=1e-3 * scale,
+            err_msg=f"gradient mismatch on {name}")
