@@ -694,3 +694,73 @@ def test_waveunet_gradient_parity_vs_torch(rng):
         np.testing.assert_allclose(
             g, g_ref, rtol=5e-3, atol=1e-3 * scale,
             err_msg=f"gradient mismatch on {name}")
+
+
+def test_zonzini_gradient_parity_vs_torch(rng):
+    """Gradient golden for the REGRESSION training branch (Zonzini Small,
+    graceful-wave): the reference regresses the first valid ToA directly
+    (main.py:233-241 — argmin over zero-masked gt_true picks the first
+    echo, MSE on the scalar), exercising the global-pool + FC backward
+    that the heatmap branch never touches."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+
+    from stofnet_tpu.models import build_model, import_checkpoint
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+    from stofnet_tpu.models.zonzini import rewrite_flax_key
+    from stofnet_tpu.train.loss import regression_loss
+
+    path = reference.ckpt_path("graceful-wave")
+    if path is None:
+        pytest.skip("ckpt missing")
+    from models.zonzini import ZonziniNetSmall as TorchSmall
+
+    tm = TorchSmall()
+    tm.load_state_dict(torch.load(str(path), map_location="cpu",
+                                  weights_only=True))
+    tm.train()  # no BN/dropout: train()/eval() forwards are identical
+
+    model, _ = build_model("zonzini", dataset_kind="chirp")
+    variables = import_checkpoint("zonzini", str(path))
+
+    b, length = 3, 2000
+    x = rng.standard_normal((b, 1, length)).astype(np.float32)
+    x /= np.abs(x).max()
+    # two echo slots, some zero (invalid) — the first VALID one is the
+    # regression target, exactly the reference's masked argmin
+    gt_sample = np.array([[0.0, 812.25], [331.5, 977.0], [0.0, 44.5]],
+                         np.float32)
+    gt_true = np.round(gt_sample).astype(np.int64)  # (B, E), 0 = invalid
+
+    pred_t = tm(torch.from_numpy(x))
+    gt_t = torch.from_numpy(gt_true.copy())
+    gt_t[gt_t == 0] = int(1e12)
+    idx = torch.argmin(gt_t, dim=-1, keepdim=True)
+    target_t = torch.gather(torch.from_numpy(gt_sample), -1, idx).float()
+    loss_t = torch.nn.functional.mse_loss(pred_t, target_t)
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters()}
+
+    def loss_fn(params):
+        pred = model.apply({"params": params}, jnp.asarray(x))
+        loss, _ = regression_loss(pred, jnp.asarray(gt_sample),
+                                  jnp.asarray(gt_true))
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    grad_sd = {rewrite_flax_key(kk): v for kk, v in
+               params_to_state_dict({"params": grads}).items()}
+    assert set(grad_sd) == set(ref_grads)
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32).reshape(g_ref.shape)
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=5e-3, atol=1e-3 * scale,
+            err_msg=f"gradient mismatch on {name}")
