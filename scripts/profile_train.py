@@ -1,13 +1,21 @@
 """Training-step ablation at the bench operating point (B=128, L=8000).
 
-Where do the ~46 ms/step (r2 `bench.py --train`) go? Variants:
+Where do the ~46 ms/step (r2 `bench.py --train`) go? Rows:
 
-  fwd_loss      forward + loss only (no grad, no update)
-  train_full    full step, current model (reshape+max pool gradient)
-  train_window  full step, SemiGlobalBlock built with nn.max_pool
-                (reduce_window), whose gradient is XLA select-and-scatter
-  train_nosgb   full step, semi_global_scale=1 ablation
-  train_remat   full step with jax.checkpoint on the forward
+  fwd_loss         forward + loss only (no grad, no update)
+  fwd_loss_window  same, with the pre-r3 reduce_window pool lowering
+  train_full       full step, CURRENT model — i.e. the residual-lean
+                   custom-VJP pool (ops/poolgrad.py, since e373cff); its
+                   delta vs train_window IS the poolgrad effect CLAUDE.md
+                   lists as the open hardware question
+  train_window     full step, SemiGlobalBlock built with nn.max_pool
+                   (reduce_window), whose gradient is XLA
+                   select-and-scatter keeping the dense plane alive
+  train_nosgb      full step, semi_global_scale=1 ablation
+  train_remat      full step with jax.checkpoint on the forward
+  train_f32        the reference-parity f32 recipe (amp=False)
+  train_amp        bf16 compute / f32 master recipe (amp=True)
+  train_amp_nosgb  amp + semi_global_scale=1 (is amp's win SGB-bound?)
 
 All bodies consume per-iteration staged batches (CLAUDE.md TIMING TRAP).
 Run on the real chip: ``python scripts/profile_train.py``.
@@ -48,21 +56,19 @@ def main():
 
         @nn.compact
         def __call__(self, x):
-            import jax as _jax
-
             from stofnet_tpu.models.init import torch_default
 
             feat = max(1, self.sample_scale // 10) * self.features
             s = nn.Conv(feat, (self.kernel_size,), padding="SAME",
                         dtype=self.dtype, name="contract_conv",
                         **torch_default(self.kernel_size, x.shape[-1]))(x)
-            s = _jax.nn.leaky_relu(s, 0.01)
+            s = jax.nn.leaky_relu(s, 0.01)
             s = nn.max_pool(s, (self.sample_scale,),
                             strides=(self.sample_scale,), padding="VALID")
             s = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
                         dtype=self.dtype, name="expand_conv",
                         **torch_default(self.kernel_size, feat))(s)
-            s = _jax.nn.leaky_relu(s, 0.01)
+            s = jax.nn.leaky_relu(s, 0.01)
             s = jnp.repeat(s, self.sample_scale, axis=1)
             pad = max(0, x.shape[1] - s.shape[1])
             s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))

@@ -13,15 +13,20 @@ because both the leaky and the max-pool gradients consult it. But the
 pool's gradient only needs, per pooled output, WHICH window element won —
 an int32 offset array 80x smaller. This op computes
 ``leaky(maxpool(y))`` (== ``maxpool(leaky(y))``, monotonicity) with a
-custom VJP that saves only (pooled, argmax offsets): the dense y dies at
-the end of the forward, and the backward rebuilds the cotangent plane by
-scattering through the offsets. XLA-only — no Pallas — so it runs at
-full conv-pipeline speed anywhere.
+custom VJP whose residuals are (int32 argmax offsets, pooled>=0 bool
+mask, y.shape) — each 80x smaller than the dense plane, and the dense y
+dies at the end of the forward; the backward rebuilds the cotangent
+plane by scattering through the offsets. XLA-only — no Pallas — so it
+runs at full conv-pipeline speed anywhere.
 
 Tie semantics: the backward routes a tied window to its FIRST maximal
-element (argmax), where jax's reduce-max gradient splits evenly among
-ties. Exact float ties in conv outputs are measure-zero; the train-zoo
-and parallel exactness tests pass unchanged with this op in the model.
+element (argmax) — the same convention as torch's MaxPool1d backward —
+where jax's reduce-max gradient splits evenly among ties. In f32, exact
+conv-output ties are measure-zero and the train-zoo/parallel exactness
+tests pass unchanged. In the bf16 recipes (dtype=bfloat16 / amp=True)
+ties are REAL (~1.7% of 80-wide windows measured at B=128), so bf16
+gradients differ from the old reshape+jnp.max lowering there by design —
+matching torch, not the split-tie behavior.
 """
 
 from __future__ import annotations
@@ -30,6 +35,20 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def _pool_windows(y, scale):
+    """Crop L to a multiple of ``scale`` (MaxPool1d floor semantics) and
+    expose the windows: (B, L, F) -> (B, rows, scale, F). Shared by the
+    primal and the VJP forward so the no-grad and grad paths can never
+    drift apart."""
+    rows = y.shape[1] // scale
+    return y[:, : rows * scale].reshape(y.shape[0], rows, scale,
+                                        y.shape[2])
+
+
+def _leaky(m, negative_slope):
+    return jnp.where(m >= 0, m, negative_slope * m)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -42,19 +61,14 @@ def maxpool_leaky(y: jnp.ndarray, scale: int,
            of ``scale`` (MaxPool1d floor semantics).
     Returns: (B, L//scale, F).
     """
-    rows = y.shape[1] // scale
-    y4 = y[:, : rows * scale].reshape(y.shape[0], rows, scale, y.shape[2])
-    m = jnp.max(y4, axis=2)
-    return jnp.where(m >= 0, m, negative_slope * m)
+    return _leaky(jnp.max(_pool_windows(y, scale), axis=2), negative_slope)
 
 
 def _fwd(y, scale, negative_slope):
-    rows = y.shape[1] // scale
-    y4 = y[:, : rows * scale].reshape(y.shape[0], rows, scale, y.shape[2])
+    y4 = _pool_windows(y, scale)
     m = jnp.max(y4, axis=2)
     off = jnp.argmax(y4, axis=2).astype(jnp.int32)  # (B, rows, F)
-    out = jnp.where(m >= 0, m, negative_slope * m)
-    return out, (off, m >= 0, y.shape)
+    return _leaky(m, negative_slope), (off, m >= 0, y.shape)
 
 
 def _bwd(scale, negative_slope, res, g):
