@@ -764,3 +764,81 @@ def test_zonzini_gradient_parity_vs_torch(rng):
         np.testing.assert_allclose(
             g, g_ref, rtol=5e-3, atol=1e-3 * scale,
             err_msg=f"gradient mismatch on {name}")
+
+
+def test_kuleshov_gradient_parity_vs_torch(rng):
+    """Gradient golden for Kuleshov (random seeded weights — no ckpt ships
+    upstream): pixel-shuffle + time-axis skip-CONCAT backward (cotangent
+    splitting between trunk and skip), BN scale/bias, eval-mode dropout
+    (identity both sides). With this, every trainable model family has a
+    per-parameter gradient golden (ESPCN's three plain convs are covered
+    by the others; GradPeak has no parameters)."""
+    import tempfile
+
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from utils.gaussian import gaussian_kernel as ref_gauss
+    from utils.mask2samples import coords2mask as ref_coords2mask
+
+    from stofnet_tpu.models import import_checkpoint
+    from stofnet_tpu.models.kuleshov import BATCHNORM_MODULES
+    from stofnet_tpu.models.torch_import import params_to_state_dict
+    from stofnet_tpu.train.loss import heatmap_loss
+
+    from models.kuleshov import Kuleshov as TorchKuleshov
+
+    torch.manual_seed(0)
+    n_in, up = 1000, 4
+    tm = TorchKuleshov(input_length=n_in, output_length=n_in * up)
+    tm.eval()  # running-stat BN + inert dropout on both sides
+
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        torch.save(tm.state_dict(), f.name)
+        variables = import_checkpoint("kuleshov", f.name)
+
+    model = Kuleshov(input_length=n_in, output_length=n_in * up)
+    b = 2
+    x = rng.standard_normal((b, 1, n_in)).astype(np.float32)
+    x /= np.abs(x).max()
+    gt_true = np.round(rng.uniform(5, n_in - 5, size=(b, 1))[:, None]
+                       * up).astype(np.int64)
+
+    out = tm(torch.from_numpy(x))
+    k = torch.tensor(ref_gauss(7, 1.0), dtype=torch.float32)[None, None]
+    masks_true = ref_coords2mask(torch.from_numpy(gt_true.copy()),
+                                 torch.zeros(b, 1, n_in * up))
+    blur = F.conv1d(masks_true, k, padding=3)
+    blur = blur / blur.max() * 20.0
+    loss_t = (F.mse_loss(out.squeeze(1), blur.squeeze(1))
+              + 1e-2 * out.squeeze(1).abs().mean())
+    loss_t.backward()
+    ref_grads = {n: p.grad.detach().numpy() for n, p in
+                 tm.named_parameters() if p.grad is not None}
+
+    def loss_fn(params):
+        pred = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=False)
+        loss, _ = heatmap_loss(pred, jnp.asarray(gt_true), kernel_size=7,
+                               sigma=1.0, mask_amplitude=20.0,
+                               lambda_value=1e-2)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+
+    grad_sd = params_to_state_dict({"params": grads},
+                                   batchnorm_modules=BATCHNORM_MODULES)
+    missing = set(ref_grads) - set(grad_sd)
+    assert not missing, f"grads missing for {sorted(missing)[:4]}"
+    for name, g_ref in sorted(ref_grads.items()):
+        g = np.asarray(grad_sd[name], np.float32).reshape(g_ref.shape)
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g, g_ref, rtol=5e-3, atol=1e-3 * scale,
+            err_msg=f"gradient mismatch on {name}")
