@@ -31,7 +31,16 @@ class NormalizeVol:
 
 class AddNoise:
     """Add uniform noise at the given SNR [dB]; zero-mean for bipolar
-    signals, positive-mean for envelopes (the reference's (.5,2)/(0,1))."""
+    signals, positive-mean for envelopes (the reference's (.5,2)/(0,1)).
+
+    SNR normalizer semantics (utils/transforms.py:33): the reference uses
+    python's builtin ``sum`` — identical to our global ``np.sum`` for the
+    1-D items every chirp transform actually receives
+    (chirp_dataset.py:126 feeds (L,) waveforms; exact same-noise golden in
+    tests/test_data.py). On a RANK-2 input builtin sum collapses axis 0
+    only, making the reference normalizer per-sample-position — a quirk
+    reachable only through the lost PALA submodule's unknown item rank;
+    we keep the global-sum (true SNR) semantics there."""
 
     def __init__(self, snr: float = 40, rng: Optional[np.random.Generator] = None):
         self.snr = snr

@@ -354,3 +354,40 @@ def test_chirp_rf_gt_crops_around_original_gt(chirp_root):
     # the cropped rf_gt must carry signal energy (the echo), not just the
     # zero padding a start-anchored crop would capture
     assert np.abs(rf_gt).max() > 0.1 * np.abs(rf).max()
+
+
+def test_add_noise_formula_golden_vs_reference(rng):
+    """Exact same-noise golden for the AddNoise SNR formula on the 1-D
+    items chirp transforms actually receive (chirp_dataset.py:126): with
+    an identical noise realization, the reference's snr_noise and ours
+    agree to machine precision — for 1-D, python's builtin sum (the
+    reference normalizer) equals our global np.sum. Rank-2 inputs would
+    diverge (builtin sum collapses axis 0 only), but that branch is only
+    reachable through the lost PALA submodule's unknown item rank
+    (transforms.py docstring)."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    from utils.transforms import AddNoise as RefAddNoise
+
+    for snr, bipolar in ((30.0, True), (15.0, False)):
+        w = rng.standard_normal(256) if bipolar else np.abs(
+            rng.standard_normal(256)) + 0.1
+
+        np.random.seed(20260818)
+        ref_out = RefAddNoise(snr=snr)(w)
+
+        class _Replay:
+            """Feed our transform the reference's exact legacy draw."""
+
+            def __init__(self):
+                np.random.seed(20260818)
+
+            def random(self, shape):
+                return np.random.rand(*shape)
+
+        ours_out, _ = AddNoise(snr)(w, None, rng=_Replay())
+        np.testing.assert_allclose(ours_out, np.asarray(ref_out),
+                                   rtol=1e-12)
