@@ -391,3 +391,50 @@ def test_add_noise_formula_golden_vs_reference(rng):
         ours_out, _ = AddNoise(snr)(w, None, rng=_Replay())
         np.testing.assert_allclose(ours_out, np.asarray(ref_out),
                                    rtol=1e-12)
+
+
+def test_crop_channel_data_replay_golden_vs_reference(rng):
+    """Exact same-draw golden for CropChannelData: with an identical shift
+    draw, the crop window arithmetic (width rounding, edge clamping,
+    max_dist shift bounds, zero-pad tail, GT re-indexing) matches the
+    reference element for element. Also pins the reference's edge CRASH:
+    at max_dist <= 1 its np.random.randint(lo, hi) gets lo == hi and
+    raises (utils/transforms.py:80); ours takes the only legal shift."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    from utils.transforms import CropChannelData as RefCrop
+
+    class _Replay:
+        def __init__(self, seed):
+            self.seed = seed
+            np.random.seed(seed)
+
+        def integers(self, lo, hi):
+            return np.random.randint(lo, hi)
+
+    for trial in range(8):
+        size = int(rng.integers(60, 400))
+        ratio = float(rng.uniform(0.2, 0.9))
+        gt = float(rng.uniform(5, size - 5))
+        w = rng.standard_normal(size)
+
+        np.random.seed(1000 + trial)
+        ref_out, ref_gt = RefCrop(ratio=ratio)(w.copy(), gt)[:2]
+
+        ours_out, ours_gt = CropChannelData(ratio=ratio)(
+            w.copy(), gt, rng=_Replay(1000 + trial))
+        np.testing.assert_array_equal(ours_out, np.asarray(ref_out))
+        assert float(ours_gt) == pytest.approx(float(ref_gt))
+
+    # the reference's lo==hi crash, and our graceful equivalent: gt at the
+    # very start makes the window hug the edge (max_dist small)
+    w = rng.standard_normal(200)
+    np.random.seed(0)
+    with pytest.raises(ValueError):
+        RefCrop(ratio=0.5)(w.copy(), 0.0)
+    out, g = CropChannelData(ratio=0.5)(w.copy(), 0.0,
+                                        rng=np.random.default_rng(0))
+    assert out.shape == w.shape and np.isfinite(g)
