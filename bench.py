@@ -149,9 +149,14 @@ class FetchTimeout(Exception):
 # only fires on real outages.
 FETCH_TIMEOUT_S = float(os.environ.get("STOFNET_BENCH_FETCH_TIMEOUT_S",
                                        "720"))
-# A FetchTimeout burns ~FETCH_TIMEOUT_S per process attempt, so it gets a
-# tighter re-exec budget: one fresh claim to rule out a wedge, then stale.
-TIMEOUT_PROCESS_ATTEMPTS = 2
+# A FetchTimeout means a REAL outage, not a wedge: a wedged claim resolves
+# inside the watchdog window (the blocked fetch simply returns late, well
+# under 720 s), so a fetch still hung after 12 min will not be saved by a
+# fresh claim either. Serve the stale record after the FIRST hang —
+# ~14 min into the run — instead of burning another attempt against an
+# unknown driver timeout. Transient EXCEPTIONS keep the full 3-attempt
+# re-exec budget.
+TIMEOUT_PROCESS_ATTEMPTS = 1
 
 
 def _relay_shaped(e: Exception) -> bool:
