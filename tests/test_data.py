@@ -438,3 +438,30 @@ def test_crop_channel_data_replay_golden_vs_reference(rng):
     out, g = CropChannelData(ratio=0.5)(w.copy(), 0.0,
                                         rng=np.random.default_rng(0))
     assert out.shape == w.shape and np.isfinite(g)
+
+
+def test_reference_add_noise_rank2_quirk_is_real():
+    """Evidence for the transforms.py divergence note: on a RANK-2 input
+    the reference's builtin-sum SNR normalizer is per-sample-position
+    (axis-0 collapse only), so its per-position noise/signal power ratio
+    is ~constant — NOT a global SNR. Only reachable through the lost PALA
+    submodule's unknown item rank; our global-sum transform implements a
+    true SNR (test_add_noise_snr)."""
+    from tests import reference
+
+    if not reference.available():
+        pytest.skip("reference unavailable")
+    reference.add_to_path()
+    from utils.transforms import AddNoise as RefAddNoise
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 512)) * np.linspace(
+        0.1, 10.0, 512)  # strongly position-dependent power
+    np.random.seed(7)
+    out = np.asarray(RefAddNoise(snr=20)(w.copy()))
+    noise = out - w
+    per_pos = (noise ** 2).sum(0) / (w ** 2).sum(0)
+    # per-position ratio ~10^(-snr/10) everywhere (position-local
+    # normalization), despite the 100x power gradient across positions
+    assert np.all(np.abs(10 * np.log10(per_pos) + 20) < 3.0), (
+        10 * np.log10(per_pos)[:5])
