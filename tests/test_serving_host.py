@@ -1,0 +1,244 @@
+"""Serving runtime (stofnet_tpu/serving/): dynamic batch coalescing.
+
+No reference equivalent (the torch reference evaluates fixed datasets in
+process, main.py:291-347); these tests pin OUR serving contract:
+
+- results through the host are BIT-EXACT vs calling the pipeline
+  directly on each request alone (padding/coalescing is invisible —
+  every pipeline stage is row-local);
+- batches the device sees are always bucket-shaped (static shapes: the
+  XLA compile count stays bounded at log2(max_batch)+1);
+- coalescing actually happens (many queued singles → few device calls);
+- shape errors fail at submit, pipeline errors fan out to the affected
+  Futures without killing the host, close() drains;
+- the TCP front round-trips the same numbers across processes' worth of
+  sockets, reusing connections, and reports errors in-band.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stofnet_tpu.serving import (ServingClient, ServingHost, batch_buckets,
+                                 start_server)
+
+LENGTH, ECHOES = 800, 8
+
+
+@pytest.fixture(scope="module")
+def live_pipeline():
+    """A small real StofNet serving pipeline (same config as
+    tests/test_serve.py) — the integration half of the suite."""
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.serve import make_pipeline
+
+    overrides = {"num_features": 16, "semi_global_scale": 8, "num_blocks": 4}
+    model = StofNet(**overrides)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, LENGTH)))
+    return jax.jit(make_pipeline(variables, overrides, max_echoes=ECHOES))
+
+
+class RecordingPipeline:
+    """Test double: records the batch shapes the 'device' sees; output
+    row i = (i-th row's first ECHOES samples) so slicing is checkable."""
+
+    def __init__(self, gate: threading.Event = None, fail_on=None):
+        self.shapes = []
+        self.calls = 0
+        self.gate = gate
+        self.fail_on = fail_on  # batch size that raises
+
+    def __call__(self, x):
+        self.calls += 1
+        self.shapes.append(x.shape)
+        if self.gate is not None and self.calls == 1:
+            self.gate.wait(10.0)
+        if self.fail_on is not None and x.shape[0] == self.fail_on:
+            raise RuntimeError("injected device fault")
+        return np.asarray(x)[:, 0, :ECHOES]
+
+
+def test_batch_buckets():
+    assert batch_buckets(128) == (1, 2, 4, 8, 16, 32, 64, 128)
+    assert batch_buckets(12) == (1, 2, 4, 8, 12)
+    assert batch_buckets(1) == (1,)
+    with pytest.raises(ValueError):
+        batch_buckets(0)
+
+
+def test_host_matches_direct_pipeline_exactly(live_pipeline):
+    """Concurrent mixed-size requests through the host decode bit-exactly
+    as each request run alone — coalescing and zero-padding are invisible
+    (row-local pipeline; probed exact on this backend)."""
+    rng = np.random.default_rng(0)
+    reqs = [rng.standard_normal(
+        (int(rng.integers(1, 6)), 1, LENGTH)).astype(np.float32)
+        for _ in range(12)]
+    want = [np.asarray(live_pipeline(jnp.asarray(r))) for r in reqs]
+
+    with ServingHost(live_pipeline, LENGTH, max_batch=16,
+                     max_wait_ms=20.0) as host:
+        futures = [None] * len(reqs)
+
+        def client(lo, hi):
+            for i in range(lo, hi):
+                futures[i] = host.submit(reqs[i])
+
+        threads = [threading.Thread(target=client, args=(i * 3, i * 3 + 3))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        got = [f.result(60.0) for f in futures]
+
+    for g, w, r in zip(got, want, reqs):
+        assert g.shape == (r.shape[0], ECHOES)
+        np.testing.assert_array_equal(g, w)
+    s = host.stats()
+    assert s["requests"] == 12
+    assert s["waveforms"] == sum(r.shape[0] for r in reqs)
+    assert 0 < s["occupancy"] <= 1.0
+    assert "latency_p50_ms" in s and "latency_p99_ms" in s
+
+
+def test_device_sees_only_bucket_shapes():
+    pipe = RecordingPipeline()
+    with ServingHost(pipe, LENGTH, max_batch=8, max_wait_ms=5.0) as host:
+        rng = np.random.default_rng(1)
+        futs = [host.submit(rng.standard_normal(
+            (k, LENGTH)).astype(np.float32)) for k in (3, 1, 5, 2, 4)]
+        outs = [f.result(30.0) for f in futs]
+    buckets = set(batch_buckets(8))
+    assert pipe.shapes and all(s[0] in buckets and s[1:] == (1, LENGTH)
+                               for s in pipe.shapes)
+    # slicing returned each request exactly its own rows
+    for k, o in zip((3, 1, 5, 2, 4), outs):
+        assert o.shape == (k, ECHOES)
+
+
+def test_coalescing_many_singles_few_calls():
+    """While call 1 holds the device, 8 singles queue up; they must ride
+    in ONE coalesced batch (deterministic via the gate, no sleeps)."""
+    gate = threading.Event()
+    pipe = RecordingPipeline(gate=gate)
+    host = ServingHost(pipe, LENGTH, max_batch=8, max_wait_ms=0.0)
+    try:
+        x = np.zeros(LENGTH, np.float32)
+        first = host.submit(x)
+        while pipe.calls == 0:  # dispatcher picked up the first request
+            time.sleep(0.001)
+        futs = [host.submit(x) for _ in range(8)]
+        gate.set()
+        first.result(30.0)
+        for f in futs:
+            assert f.result(30.0).shape == (ECHOES,)
+        assert pipe.calls == 2, f"shapes seen: {pipe.shapes}"
+        assert pipe.shapes[1] == (8, 1, LENGTH)
+        assert host.stats()["bucket_counts"][8] == 1
+    finally:
+        gate.set()
+        host.close()
+
+
+def test_submit_shape_errors_raise_immediately():
+    with ServingHost(RecordingPipeline(), LENGTH, max_batch=4) as host:
+        with pytest.raises(ValueError, match="length"):
+            host.submit(np.zeros(LENGTH + 1, np.float32))
+        with pytest.raises(ValueError, match="max_batch"):
+            host.submit(np.zeros((5, LENGTH), np.float32))
+        with pytest.raises(ValueError, match="expected"):
+            host.submit(np.zeros((2, 3, LENGTH), np.float32))
+        # squeeze semantics both ways
+        assert host.infer(np.zeros(LENGTH, np.float32),
+                          30.0).shape == (ECHOES,)
+        assert host.infer(np.zeros((1, LENGTH), np.float32),
+                          30.0).shape == (1, ECHOES)
+
+
+def test_pipeline_error_fans_out_and_host_survives():
+    pipe = RecordingPipeline(fail_on=2)
+    with ServingHost(pipe, LENGTH, max_batch=2, max_wait_ms=100.0) as host:
+        x = np.zeros(LENGTH, np.float32)
+        bad = host.submit(np.zeros((2, LENGTH), np.float32))  # exact bucket 2
+        with pytest.raises(RuntimeError, match="injected device fault"):
+            bad.result(30.0)
+        # the host keeps serving after a device fault
+        assert host.infer(x, 30.0).shape == (ECHOES,)
+        assert host.stats()["errors"] == 1
+
+
+def test_close_drains_pending_and_rejects_new():
+    gate = threading.Event()
+    pipe = RecordingPipeline(gate=gate)
+    host = ServingHost(pipe, LENGTH, max_batch=4, max_wait_ms=0.0)
+    x = np.zeros(LENGTH, np.float32)
+    first = host.submit(x)
+    while pipe.calls == 0:
+        time.sleep(0.001)
+    pending = [host.submit(x) for _ in range(3)]  # queued behind the gate
+    closer = threading.Thread(target=host.close)
+    closer.start()
+    gate.set()
+    closer.join(30.0)
+    assert not closer.is_alive()
+    assert first.result(1.0).shape == (ECHOES,)
+    for f in pending:  # drained, not dropped
+        assert f.result(1.0).shape == (ECHOES,)
+    with pytest.raises(RuntimeError, match="closed"):
+        host.submit(x)
+    host.close()  # idempotent
+
+
+def test_warmup_precompiles_every_bucket():
+    pipe = RecordingPipeline()
+    with ServingHost(pipe, LENGTH, max_batch=8) as host:
+        host.warmup()
+    assert [s[0] for s in pipe.shapes] == [1, 2, 4, 8]
+
+
+def test_tcp_front_roundtrip(live_pipeline):
+    """End to end over real sockets: concurrent clients, connection
+    reuse, bit-exact vs the direct pipeline, in-band shape errors."""
+    rng = np.random.default_rng(2)
+    with ServingHost(live_pipeline, LENGTH, max_batch=16,
+                     max_wait_ms=10.0) as host:
+        server, thread, port = start_server(host)
+        try:
+            reqs = [rng.standard_normal(
+                (int(rng.integers(1, 5)), 1, LENGTH)).astype(np.float32)
+                for _ in range(6)]
+            want = [np.asarray(live_pipeline(jnp.asarray(r))) for r in reqs]
+            got = [None] * len(reqs)
+
+            def client(lo, hi):
+                with ServingClient(("127.0.0.1", port)) as c:
+                    for i in range(lo, hi):  # reuse one connection
+                        got[i] = c.infer(reqs[i][:, 0, :])
+
+            threads = [threading.Thread(target=client, args=(i * 2, i * 2 + 2))
+                       for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+
+            with ServingClient(("127.0.0.1", port)) as c:
+                # squeeze path
+                np.testing.assert_array_equal(
+                    c.infer(reqs[0][0, 0]), want[0][0])
+                # wrong length → in-band error, connection stays usable
+                with pytest.raises(RuntimeError, match="length"):
+                    c.infer(np.zeros(LENGTH + 1, np.float32))
+                np.testing.assert_array_equal(
+                    c.infer(reqs[0][0, 0]), want[0][0])
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join(10.0)
