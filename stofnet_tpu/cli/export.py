@@ -46,17 +46,15 @@ _KNOWN_KEYS = frozenset({
 })
 
 
-def main(argv: Optional[List[str]] = None) -> str:
-    args = parse_args(argv)
-    unknown = set(args) - _KNOWN_KEYS
-    if unknown:
-        raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
-                         f"supported: {sorted(_KNOWN_KEYS)}")
-    if not args.get("model_file"):
-        raise SystemExit("model_file=<ckpt prefix or path> is required")
-    out = args.get("out") or f"{args['model_file']}.jaxexp"
-
-    from stofnet_tpu.serve import export_pipeline, save_pipeline
+def resolve_variables_and_overrides(args: Dict[str, Any]):
+    """Resolve ``model_file=``/``ckpt_dir=`` to (variables, overrides).
+    Works for both reference .pth and trained-here orbax dirs; shape-
+    recoverable architecture knobs are inferred from the params tree
+    (conv_last Cout = upsample factor, conv<i> names = num_blocks,
+    conv1 Cout = num_features, SGB presence). semi_global_scale is NOT
+    in any shape — the default 80 matches every shipped checkpoint;
+    pass semi_global_scale=N explicitly for a non-default pooling scale.
+    Shared by this exporter and the serving daemon (cli/serve.py)."""
     from stofnet_tpu.train.checkpoint import (find_checkpoint,
                                               load_model_variables)
 
@@ -65,12 +63,6 @@ def main(argv: Optional[List[str]] = None) -> str:
                 or find_checkpoint("/root/reference/ckpts", str(path)))
     if resolved is not None:
         path = resolved
-    # works for both reference .pth and trained-here orbax dirs; shape-
-    # recoverable architecture knobs are inferred from the params tree
-    # (conv_last Cout = upsample factor, conv<i> names = num_blocks,
-    # conv1 Cout = num_features, SGB presence). semi_global_scale is NOT
-    # in any shape — the default 80 matches every shipped checkpoint;
-    # pass semi_global_scale=N explicitly for a non-default pooling scale
     variables = load_model_variables("stofnet", path)
     params = variables["params"]
     overrides = {
@@ -85,22 +77,44 @@ def main(argv: Optional[List[str]] = None) -> str:
               "upsample_factor"):
         if args.get(k) is not None:
             overrides[k] = int(args[k])
+    return variables, overrides
+
+
+def load_calib(args: Dict[str, Any]):
+    """``int8_calib=<.npy>`` → (B, 1, L) f32 calibration batch or None."""
+    if not args.get("int8_calib"):
+        return None
+    import numpy as _np
+
+    calib = _np.load(str(args["int8_calib"])).astype(_np.float32)
+    if calib.ndim != 3 or calib.shape[1] != 1:
+        raise SystemExit(f"int8_calib must be a (B, 1, L) array, got "
+                         f"{calib.shape}")
+    return calib
+
+
+def main(argv: Optional[List[str]] = None) -> str:
+    args = parse_args(argv)
+    unknown = set(args) - _KNOWN_KEYS
+    if unknown:
+        raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
+                         f"supported: {sorted(_KNOWN_KEYS)}")
+    if not args.get("model_file"):
+        raise SystemExit("model_file=<ckpt prefix or path> is required")
+    out = args.get("out") or f"{args['model_file']}.jaxexp"
+
+    from stofnet_tpu.serve import export_pipeline, save_pipeline
+
+    variables, overrides = resolve_variables_and_overrides(args)
 
     platforms = args.get("platforms", "cpu,tpu")
     if isinstance(platforms, str):
         platforms = [p.strip() for p in platforms.split(",") if p.strip()]
     th = args.get("th")
-    calib = None
-    if args.get("int8_calib"):
-        # int8-SGB serving export: the .npy batch calibrates the pre-pool
-        # requantization scales; the quantized state is baked in. Use
-        # echo-bearing waveforms (docs/DESIGN.md calibration trap).
-        import numpy as _np
-
-        calib = _np.load(str(args["int8_calib"])).astype(_np.float32)
-        if calib.ndim != 3 or calib.shape[1] != 1:
-            raise SystemExit(f"int8_calib must be a (B, 1, L) array, got "
-                             f"{calib.shape}")
+    # int8-SGB serving export: the .npy batch calibrates the pre-pool
+    # requantization scales; the quantized state is baked in. Use
+    # echo-bearing waveforms (docs/DESIGN.md calibration trap).
+    calib = load_calib(args)
     # batch=b (any non-numeric name) exports ONE batch-polymorphic
     # artifact via jax.export symbolic shapes; an int pins the batch
     batch = args.get("batch", 128)

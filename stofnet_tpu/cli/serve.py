@@ -1,0 +1,129 @@
+"""Serving daemon: dynamic-batching TCP inference on one command.
+
+No reference equivalent (/root/reference/main.py:291-347 evaluates fixed
+datasets in process; it has no serving story). Usage — from an exported
+artifact (cli/export.py; preferred for production: no model code or
+checkpoint resolution at serving time)::
+
+    python -m stofnet_tpu.cli.serve artifact=stofnet.jaxexp port=7733
+
+or straight from a checkpoint (jit-compiles locally; accepts the same
+architecture-override keys as the exporter, plus int8_calib=)::
+
+    python -m stofnet_tpu.cli.serve model_file=different-armadillo \
+        length=8000 port=7733 [th=Null] [max_echoes=64] [int8_calib=x.npy]
+
+Tuning: ``max_batch=`` (largest coalesced device batch), ``max_wait_ms=``
+(latency the oldest request may spend waiting for the batch to fill),
+``warmup=False`` to skip pre-compiling every bucket at startup.
+
+Speak to it with ``stofnet_tpu.serving.ServingClient`` (or any client of
+the length-prefixed protocol in serving/tcp.py). On SIGINT/SIGTERM the
+daemon drains queued requests and prints occupancy/latency stats.
+"""
+
+from __future__ import annotations
+
+import signal
+import sys
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+from stofnet_tpu.cli.export import (load_calib, parse_args,
+                                    resolve_variables_and_overrides)
+
+_KNOWN_KEYS = frozenset({
+    "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
+    "max_echoes", "int8_calib", "host", "port", "max_batch", "max_wait_ms",
+    "warmup",
+    "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
+})
+
+
+def build(args: Dict[str, Any]):
+    """Resolve args to a ready (ServingHost, ServingTCPServer, port).
+    Separated from main() so tests and embedders can drive the daemon
+    without signal handling."""
+    unknown = set(args) - _KNOWN_KEYS
+    if unknown:
+        raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
+                         f"supported: {sorted(_KNOWN_KEYS)}")
+
+    from stofnet_tpu.serving import ServingHost, start_server
+
+    if args.get("artifact"):
+        if args.get("model_file"):
+            raise SystemExit("pass artifact= OR model_file=, not both")
+        from stofnet_tpu.serve import load_pipeline
+
+        pipeline = load_pipeline(args["artifact"])
+        (aval,) = pipeline.in_avals
+        length = int(aval.shape[-1])  # length is static in every export
+        batch_dim = aval.shape[0]
+        # a fixed-batch artifact can only run its one exported size: the
+        # host must use that size as its single bucket
+        fixed = int(batch_dim) if str(batch_dim).isdigit() else None
+        max_batch = int(args.get("max_batch", fixed or 128))
+        if fixed is not None and max_batch != fixed:
+            raise SystemExit(
+                f"artifact was exported at fixed batch={fixed}; serve it "
+                f"with max_batch={fixed} (or re-export with batch=b for "
+                f"a batch-polymorphic artifact)")
+        buckets = (fixed,) if fixed is not None else None
+    elif args.get("model_file"):
+        if not args.get("length"):
+            raise SystemExit("length= is required with model_file= "
+                             "(the serving contract's static length)")
+        import jax
+
+        from stofnet_tpu.serve import make_pipeline
+
+        variables, overrides = resolve_variables_and_overrides(args)
+        th = args.get("th")
+        pipeline = jax.jit(make_pipeline(
+            variables, overrides,
+            window_size=int(args.get("window_size", 20)),
+            threshold=None if th in (None, "Null") else float(th),
+            max_echoes=int(args.get("max_echoes", 64)),
+            int8_calib=load_calib(args)))
+        length = int(args["length"])
+        max_batch = int(args.get("max_batch", 128))
+        buckets = None
+    else:
+        raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
+
+    hostd = ServingHost(pipeline, length, max_batch=max_batch,
+                        max_wait_ms=float(args.get("max_wait_ms", 2.0)),
+                        buckets=buckets)
+    if args.get("warmup", True):
+        print(f"warming up {len(hostd.stats()['bucket_counts'])} buckets "
+              f"(pre-compiling every served batch shape)...",
+              file=sys.stderr)
+        hostd.warmup()
+    server, _, port = start_server(
+        hostd, (str(args.get("host", "127.0.0.1")), int(args.get("port", 0))))
+    return hostd, server, port
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = parse_args(argv)
+    hostd, server, port = build(args)
+    print(f"serving waveforms of length {hostd.length} on "
+          f"{args.get('host', '127.0.0.1')}:{port} "
+          f"(max_batch={hostd.max_batch}, "
+          f"max_wait={1e3 * hostd.max_wait_s:g} ms); ctrl-c to stop",
+          file=sys.stderr)
+
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    stop.wait()
+    print("draining...", file=sys.stderr)
+    server.shutdown()
+    server.server_close()
+    hostd.close()
+    print(f"served: {hostd.stats()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,13 +86,20 @@ class ServingHost:
 
     def __init__(self, pipeline: Callable[[np.ndarray], Any], length: int,
                  *, max_batch: int = 128, max_wait_ms: float = 2.0,
+                 buckets: Optional[Sequence[int]] = None,
                  timer: Callable[[], float] = time.monotonic):
         self._pipeline = pipeline
         self.length = int(length)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._timer = timer
-        self._buckets = batch_buckets(self.max_batch)
+        # buckets override: e.g. (N,) when serving a FIXED-batch export
+        # artifact that can only run at its one compiled size
+        self._buckets = (batch_buckets(self.max_batch) if buckets is None
+                         else tuple(sorted(int(b) for b in buckets)))
+        if not self._buckets or self._buckets[-1] != self.max_batch:
+            raise ValueError(f"buckets {self._buckets} must end at "
+                             f"max_batch={self.max_batch}")
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()

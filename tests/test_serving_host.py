@@ -201,6 +201,64 @@ def test_warmup_precompiles_every_bucket():
     assert [s[0] for s in pipe.shapes] == [1, 2, 4, 8]
 
 
+def test_fixed_bucket_override():
+    """buckets=(N,) serves a FIXED-batch export artifact: every coalesced
+    batch pads to exactly N regardless of how little queued."""
+    pipe = RecordingPipeline()
+    with ServingHost(pipe, LENGTH, max_batch=4, buckets=(4,),
+                     max_wait_ms=0.0) as host:
+        out = host.infer(np.zeros(LENGTH, np.float32), 30.0)
+    assert out.shape == (ECHOES,)
+    assert all(s[0] == 4 for s in pipe.shapes)
+    with pytest.raises(ValueError, match="must end at"):
+        ServingHost(pipe, LENGTH, max_batch=4, buckets=(1, 2))
+
+
+def test_cli_serve_daemon(tmp_path):
+    """cli/serve.py end to end: build a daemon from an exported artifact
+    (batch-polymorphic AND fixed-batch) and round-trip over its socket;
+    argument errors are loud."""
+    from stofnet_tpu.cli.serve import build
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.serve import (export_pipeline, make_pipeline,
+                                   save_pipeline)
+
+    overrides = {"num_features": 16, "semi_global_scale": 8, "num_blocks": 4}
+    model = StofNet(**overrides)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, LENGTH)))
+    live = jax.jit(make_pipeline(variables, overrides, max_echoes=64))
+    poly = save_pipeline(tmp_path / "poly.jaxexp", export_pipeline(
+        variables, overrides, batch="b", length=LENGTH, platforms=("cpu",)))
+    fixed = save_pipeline(tmp_path / "b4.jaxexp", export_pipeline(
+        variables, overrides, batch=4, length=LENGTH, platforms=("cpu",)))
+
+    x = np.random.default_rng(3).standard_normal(
+        (2, LENGTH)).astype(np.float32)
+    want = np.asarray(live(jnp.asarray(x[:, None])))
+
+    for art, exp_buckets in ((poly, set(batch_buckets(128))), (fixed, {4})):
+        hostd, server, port = build({"artifact": str(art), "warmup": False,
+                                     "max_wait_ms": 1.0})
+        try:
+            assert hostd.length == LENGTH
+            assert set(hostd.stats()["bucket_counts"]) == exp_buckets
+            with ServingClient(("127.0.0.1", port)) as c:
+                np.testing.assert_array_equal(c.infer(x), want)
+        finally:
+            server.shutdown()
+            server.server_close()
+            hostd.close()
+
+    with pytest.raises(SystemExit, match="not both"):
+        build({"artifact": str(poly), "model_file": "x"})
+    with pytest.raises(SystemExit, match="unknown argument"):
+        build({"artifact": str(poly), "bogus": 1})
+    with pytest.raises(SystemExit, match="fixed batch=4"):
+        build({"artifact": str(fixed), "max_batch": 8})
+    with pytest.raises(SystemExit, match="length= is required"):
+        build({"model_file": "different-armadillo"})
+
+
 def test_tcp_front_roundtrip(live_pipeline):
     """End to end over real sockets: concurrent clients, connection
     reuse, bit-exact vs the direct pipeline, in-band shape errors."""
