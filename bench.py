@@ -55,12 +55,15 @@ can bridge), the last hardware-validated record for the mode is served from
 ``measured_at`` — an honestly-labelled real measurement instead of a stack
 trace. Deterministic regressions (ShapeRegression) are never masked.
 
-Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train]
+Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train |
+                        --serve]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
   Pallas-fused SGB keeps it in VMEM tiles; the int8-SGB path shrinks it
   to s8) and print one JSON line with each path's outcome.
   --scaling: batch-size scaling curve (B=1..1024) of the XLA pipeline.
+  --serve: dynamic-batching serving host under closed-loop single-waveform
+  clients (1/8/128) — sustained wf/s, client p50/p99 latency, occupancy.
 """
 
 from __future__ import annotations
@@ -933,6 +936,114 @@ def scaling() -> None:
           "vs_baseline": 1.0, **curve}, "scaling")
 
 
+def serve_bench() -> None:
+    """Serving-stack benchmark: the dynamic-batching host
+    (stofnet_tpu/serving) under closed-loop single-waveform clients — the
+    production path where requests arrive one waveform at a time and the
+    host coalesces them into bucketed device batches. Reports, per load
+    point (1 / 8 / 128 concurrent clients): sustained waveforms/s, the
+    client-observed p50/p99 latency, and batch occupancy. The 1-client
+    point is the latency floor (chip B=1 latency + max_wait); the
+    128-client point should approach the streamed B=128 throughput minus
+    host/fan-out overhead. Follows the mode conventions: setup()'s
+    watchdogged first contact catches a start-of-run outage; a mid-run
+    stall is detected by zero progress and raised as FetchTimeout."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from stofnet_tpu.serving import ServingHost
+
+    variables, overrides = setup()
+    rng = np.random.default_rng(3008)
+    x = jnp.asarray(rng.standard_normal((BATCH, 1, LENGTH)).astype(np.float32))
+
+    # same bf16 gate as the headline: serve the shipping dtype only if it
+    # reproduces f32 coords on a real batch
+    pipe_f32 = make_xla_pipeline(overrides, None)
+    pipe_bf16 = make_xla_pipeline(overrides, jnp.bfloat16)
+    c32 = fetch(lambda: np.asarray(pipe_f32(variables, x)), "f32 parity gate")
+    c16 = fetch(lambda: np.asarray(pipe_bf16(variables, x)),
+                "bf16 parity gate")
+    agree = np.mean(np.abs(c32 - c16) <= 1.0)
+    pipe = pipe_bf16 if agree >= 0.99 else pipe_f32
+    log(f"bf16/f32 coord agreement: {agree:.4f} -> serving "
+        f"{'bf16' if agree >= 0.99 else 'f32'}")
+
+    def pipeline(xb):  # host calls with np (B,1,L); fetch synchronizes
+        return pipe(variables, jnp.asarray(xb))
+
+    host = ServingHost(pipeline, LENGTH, max_batch=BATCH, max_wait_ms=2.0)
+    for b in host.stats()["bucket_counts"]:
+        fetch(lambda b=b: host.warmup([b]), f"warmup bucket {b}")
+
+    waves = [np.asarray(x[i % BATCH, 0]) for i in range(128)]
+
+    def run_load(clients: int, seconds: float) -> dict:
+        stop = threading.Event()
+        errors: list = []
+
+        def client(i: int) -> None:
+            w = waves[i]
+            while not stop.is_set():
+                try:
+                    host.infer(w, timeout=FETCH_TIMEOUT_S)
+                except Exception as e:  # noqa: BLE001 - surfaced below
+                    errors.append(e)
+                    stop.set()
+                    return
+
+        threads = [threading.Thread(target=client, args=(i,), daemon=True)
+                   for i in range(clients)]
+        for t in threads:
+            t.start()
+        ramp_until = time.perf_counter() + 60.0
+        base = host.stats()["waveforms"]
+        while (host.stats()["waveforms"] < base + 2 * clients
+               and time.perf_counter() < ramp_until and not stop.is_set()):
+            time.sleep(0.05)
+        s0, t0 = host.stats(), time.perf_counter()
+        while time.perf_counter() < t0 + seconds and not stop.is_set():
+            time.sleep(0.1)
+        s1, t1 = host.stats(), time.perf_counter()
+        stop.set()
+        for t in threads:
+            t.join(30.0)
+        if errors:
+            raise errors[0]
+        done = s1["waveforms"] - s0["waveforms"]
+        if done == 0:
+            raise FetchTimeout(f"serving load ({clients} clients) made no "
+                               f"progress in {seconds:.0f}s")
+        padded = max(1, s1["padded"] - s0["padded"])
+        point = {
+            "wf_s": round(done / (t1 - t0), 1),
+            "p50_ms": round(s1.get("latency_p50_ms", 0.0), 2),
+            "p99_ms": round(s1.get("latency_p99_ms", 0.0), 2),
+            "occupancy": round(done / padded, 3),
+        }
+        log(f"serve load {clients} clients: {point}")
+        return point
+
+    points = {c: run_load(c, 10.0) for c in (1, 8, 128)}
+    host.close()
+    sat = points[128]
+    emit({
+        "metric": "stofnet_serving_throughput",
+        "value": sat["wf_s"],
+        "unit": "waveforms/s/chip (dynamic batching host, 128 closed-loop "
+                "single-waveform clients, L=8000)",
+        "vs_baseline": round(sat["wf_s"] / BASELINE_WF_S, 2),
+        "serve_p50_ms": sat["p50_ms"],
+        "serve_p99_ms": sat["p99_ms"],
+        "serve_occupancy": sat["occupancy"],
+        "serve_1client_wf_s": points[1]["wf_s"],
+        "serve_1client_p50_ms": points[1]["p50_ms"],
+        "serve_8client_wf_s": points[8]["wf_s"],
+        "serve_8client_p50_ms": points[8]["p50_ms"],
+    }, "serve")
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -1070,5 +1181,7 @@ if __name__ == "__main__":
         respawn_on_failure(train_bench, "train")
     elif "--lscaling" in sys.argv:
         respawn_on_failure(length_scaling, "lscaling")
+    elif "--serve" in sys.argv:
+        respawn_on_failure(serve_bench, "serve")
     else:
         respawn_on_failure(main, "headline")

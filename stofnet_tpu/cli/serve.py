@@ -16,6 +16,9 @@ architecture-override keys as the exporter, plus int8_calib=)::
 Tuning: ``max_batch=`` (largest coalesced device batch), ``max_wait_ms=``
 (latency the oldest request may spend waiting for the batch to fill),
 ``warmup=False`` to skip pre-compiling every bucket at startup.
+``mesh=True [mesh_dp=N]`` shards every served batch over a dp device mesh
+(multi-chip serving from one daemon; buckets restricted to dp-divisible
+sizes so GSPMD splits them evenly).
 
 Speak to it with ``stofnet_tpu.serving.ServingClient`` (or any client of
 the length-prefixed protocol in serving/tcp.py). On SIGINT/SIGTERM the
@@ -35,9 +38,28 @@ from stofnet_tpu.cli.export import (load_calib, parse_args,
 _KNOWN_KEYS = frozenset({
     "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
     "max_echoes", "int8_calib", "host", "port", "max_batch", "max_wait_ms",
-    "warmup",
+    "warmup", "mesh", "mesh_dp",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
 })
+
+
+def _mesh_wrap(pipeline, args: Dict[str, Any]) -> Tuple[Any, int]:
+    """``mesh=True [mesh_dp=N]``: shard every served batch over a dp mesh
+    (same convention as cli/main.py's mesh flags) — GSPMD splits the
+    batch across chips and the decode gathers per-row coords, so one
+    daemon serves a whole slice. Exported artifacts work too: the
+    deserialized call is jax-traceable and re-jits under in_shardings
+    (tests/test_serve.py::test_exported_artifact_serves_on_dp_mesh)."""
+    import jax
+
+    from stofnet_tpu.parallel import batch_sharding, make_mesh
+
+    dp = int(args.get("mesh_dp", 0) or len(jax.devices()))
+    # a serving mesh may use a subset of the host's chips (mesh_dp=4 on an
+    # 8-chip worker leaves the rest for other daemons)
+    mesh = make_mesh(dp=dp, sp=1, devices=jax.devices()[:dp])
+    sharding = batch_sharding(mesh, 3)
+    return jax.jit(lambda xb: pipeline(xb), in_shardings=(sharding,)), dp
 
 
 def build(args: Dict[str, Any]):
@@ -91,6 +113,22 @@ def build(args: Dict[str, Any]):
         buckets = None
     else:
         raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
+
+    if args.get("mesh"):
+        from stofnet_tpu.serving import batch_buckets
+
+        pipeline, dp = _mesh_wrap(pipeline, args)
+        if max_batch % dp:
+            raise SystemExit(f"max_batch={max_batch} must be divisible by "
+                             f"the dp mesh size {dp}")
+        if buckets is not None and any(b % dp for b in buckets):
+            raise SystemExit(f"fixed artifact batch {buckets} not divisible "
+                             f"by the dp mesh size {dp}")
+        if buckets is None:
+            # only dp-divisible batches shard evenly; sub-dp requests pad
+            # up to one waveform per chip
+            buckets = tuple(b for b in batch_buckets(max_batch)
+                            if b % dp == 0)
 
     hostd = ServingHost(pipeline, length, max_batch=max_batch,
                         max_wait_ms=float(args.get("max_wait_ms", 2.0)),

@@ -249,6 +249,25 @@ def test_cli_serve_daemon(tmp_path):
             server.server_close()
             hostd.close()
 
+    # mesh=True: dp-sharded serving through the daemon (8 virtual devs);
+    # buckets restrict to dp-divisible sizes, results stay bit-exact
+    hostd, server, port = build({"artifact": str(poly), "warmup": False,
+                                 "mesh": True, "mesh_dp": 4,
+                                 "max_batch": 16, "max_wait_ms": 1.0})
+    try:
+        assert all(b % 4 == 0 for b in hostd.stats()["bucket_counts"])
+        with ServingClient(("127.0.0.1", port)) as c:
+            np.testing.assert_array_equal(c.infer(x), want)
+    finally:
+        server.shutdown()
+        server.server_close()
+        hostd.close()
+    with pytest.raises(SystemExit, match="divisible"):
+        build({"artifact": str(poly), "mesh": True, "mesh_dp": 4,
+               "max_batch": 6})
+    with pytest.raises(SystemExit, match="divisible"):
+        build({"artifact": str(fixed), "mesh": True, "mesh_dp": 8})
+
     with pytest.raises(SystemExit, match="not both"):
         build({"artifact": str(poly), "model_file": "x"})
     with pytest.raises(SystemExit, match="unknown argument"):
