@@ -100,19 +100,84 @@ def _prepool_absmax(variables: Any, x: jnp.ndarray):
     return jnp.max(jnp.abs(v), axis=(0, 1), keepdims=True)
 
 
+@partial(jax.jit, static_argnames=("num_blocks", "semi_global_scale"))
+def _stack_input_absmax(variables: Any, x: jnp.ndarray,
+                        num_blocks: int = 13, semi_global_scale: int = 80):
+    """f32 forward through the stack, collecting each stack conv's INPUT
+    per-channel absmax (1, 1, Cin) — the activation side of the
+    SmoothQuant-style equalization basis. Mirrors StofNet.__call__
+    (models/stofnet.py:83-118) exactly in f32."""
+    p = variables["params"]
+    h = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)
+    h = jax.nn.relu(_conv1d_same(h, *_kb(p, "conv1")))
+    if semi_global_scale != 1:
+        v = _conv1d_same(h, *_kb(p, "semi_global_block.contract_conv"))
+        rows = v.shape[1] // semi_global_scale
+        s = jnp.max(v[:, : rows * semi_global_scale].reshape(
+            v.shape[0], rows, semi_global_scale, v.shape[2]), axis=2)
+        s = jnp.where(s >= 0, s, 0.01 * s)
+        s = _conv1d_same(s, *_kb(p, "semi_global_block.expand_conv"))
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, semi_global_scale, axis=1)
+        pad = max(0, h.shape[1] - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        h = h + s
+
+    absmax = {}
+    residual_layers = set(range(3, num_blocks - 1, 2))
+    res = res1 = h
+    for i in range(2, num_blocks - 1):
+        absmax[f"conv{i}"] = jnp.max(jnp.abs(h), axis=(0, 1), keepdims=True)
+        y = _conv1d_same(h, *_kb(p, f"conv{i}"))
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+    absmax[f"conv{num_blocks - 1}"] = jnp.max(jnp.abs(h), axis=(0, 1),
+                                              keepdims=True)
+    return absmax
+
+
+def _norm_stack_layers(quant_stack, stack_layers, num_blocks):
+    """The set of stack convs to run in int8: ``stack_layers`` (a tuple of
+    layer indices in [2, num_blocks-1]) wins when given; else quant_stack
+    toggles all-or-none. Returns a sorted tuple (hashable: jit-static)."""
+    if stack_layers is not None:
+        bad = [i for i in stack_layers if not 2 <= i <= num_blocks - 1]
+        if bad:
+            raise ValueError(f"stack_layers out of range [2, {num_blocks - 1}]"
+                             f": {bad}")
+        return tuple(sorted(set(int(i) for i in stack_layers)))
+    return tuple(range(2, num_blocks)) if quant_stack else ()
+
+
 def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
                      upsample_factor: int = 4, num_blocks: int = 13,
                      semi_global_scale: int = 80,
-                     quant_stack: bool = False) -> dict:
+                     quant_stack: bool = False,
+                     stack_layers: Optional[tuple] = None,
+                     eq_alpha: Optional[float] = None) -> dict:
     """Build the int8 serving state from a trained parameter tree.
 
-    ``calib_x`` is a representative (B, 1, L) batch; its only calibration
-    role is the pre-pool tensor's per-channel requantization scale
-    (activation input scales are dynamic at runtime). Returns a pytree of
-    arrays, so ``stofnet_apply_int8`` can take it as a jit argument.
-    ``quant_stack=True`` additionally builds s8 twins of the ten k=7 stack
-    convs for the experimental full-stack mode — off by default so the
+    ``calib_x`` is a representative (B, 1, L) batch; its calibration
+    roles are the pre-pool tensor's per-channel requantization scale and
+    (when ``eq_alpha`` is set) the stack equalization basis — activation
+    input scales stay dynamic at runtime. Returns a pytree of arrays, so
+    ``stofnet_apply_int8`` can take it as a jit argument.
+
+    ``quant_stack=True`` / ``stack_layers=(i, ...)`` additionally build s8
+    twins of all / the chosen k=7 stack convs — off by default so the
     serving pytree ships exactly one copy of each stack kernel.
+
+    ``eq_alpha`` (0..1) applies SmoothQuant-style channel equalization to
+    the quantized stack convs: per input channel c,
+    ``s_c = amax_c^alpha / wmax_c^(1-alpha)`` with ``amax`` the calibrated
+    activation absmax and ``wmax`` the kernel's per-Cin absmax; the conv
+    computes exactly ``conv(h / s, w * s)``, shifting activation outlier
+    range into the weights BEFORE each is rounded. alpha=1 is the
+    documented-catastrophic full fold (module docstring); fractional alpha
+    balances the two rounding errors.
     """
     p = variables["params"]
     q: dict = {"f32": {}}
@@ -134,12 +199,26 @@ def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
         q["contract"] = {"wq": wq, "wscale": ws, "bias": b,
                          "pre_scale": pre_scale.astype(jnp.float32)}
 
-    if quant_stack:
+    chosen = _norm_stack_layers(quant_stack, stack_layers, num_blocks)
+    if chosen:
+        amax = (_stack_input_absmax(variables, calib_x, num_blocks,
+                                    semi_global_scale)
+                if eq_alpha is not None else None)
         q["stack"] = {}
-        for i in range(2, num_blocks):
+        for i in chosen:
             k, b = _kb(p, f"conv{i}")
+            layer = {"bias": b}
+            if eq_alpha is not None:
+                a = jnp.maximum(amax[f"conv{i}"][0], 1e-12)  # (1, Cin)
+                wmax = jnp.maximum(
+                    jnp.max(jnp.abs(k), axis=(0, 2))[None, :], 1e-12)
+                s = a ** eq_alpha / wmax ** (1.0 - eq_alpha)
+                s = jnp.where((a > 1e-10) & (wmax > 1e-10), s, 1.0)
+                layer["inv_eq"] = (1.0 / s)[None].astype(jnp.float32)
+                k = k * s[0][None, :, None]
             wq, ws = quantize_weight(k)
-            q["stack"][f"conv{i}"] = {"wq": wq, "wscale": ws, "bias": b}
+            layer.update(wq=wq, wscale=ws)
+            q["stack"][f"conv{i}"] = layer
     return q
 
 
@@ -158,15 +237,23 @@ def _dyn_quant(h: jnp.ndarray):
 def _qconv(h: jnp.ndarray, layer: dict, impl: str) -> jnp.ndarray:
     """Dynamic-quantize the activation, run the s8 conv, dequantize: the
     input scale is a runtime (B, 1, 1) row scalar, the weight scale per
-    output channel, so the epilogue is one fused multiply-add."""
-    xq, s_in = _dyn_quant(h)
+    output channel, so the epilogue is one fused multiply-add. When the
+    layer carries an equalization vector (quantize_stofnet eq_alpha), the
+    input is rescaled per channel before rounding — exact in real
+    arithmetic because the stored kernel was pre-multiplied by the
+    inverse."""
+    hf = h.astype(jnp.float32)
+    if "inv_eq" in layer:
+        hf = hf * layer["inv_eq"]
+    scale = absmax_scale(hf, axis=(1, 2))
+    xq = quantize(hf, scale)
     acc = conv1d_same_int8(xq, layer["wq"], impl=impl)
-    return (acc.astype(jnp.float32) * (s_in * layer["wscale"])
+    return (acc.astype(jnp.float32) * (scale * layer["wscale"])
             + layer["bias"])
 
 
 @partial(jax.jit, static_argnames=_QCONFIG + ("dtype", "impl",
-                                              "quant_stack"))
+                                              "quant_stack", "stack_layers"))
 def stofnet_apply_int8(
     q: dict,
     x: jnp.ndarray,
@@ -176,13 +263,16 @@ def stofnet_apply_int8(
     dtype: Optional[Any] = jnp.bfloat16,
     impl: str = "conv",
     quant_stack: bool = False,
+    stack_layers: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """StofNet forward, (B, 1, L) -> (B, 1, L*r), int8 SGB contract conv.
 
     ``impl`` picks the s8 conv lowering (ops/int8.py): ``"conv"`` (one
     integer convolution) or ``"dots"`` (K shifted s8 matmuls).
-    ``quant_stack=True`` also runs conv2..conv{num_blocks-1} in int8 —
-    experimental; see the module docstring for why it is off by default.
+    ``quant_stack=True`` / ``stack_layers=(i, ...)`` also runs all / the
+    chosen of conv2..conv{num_blocks-1} in int8 (must match the set the
+    pytree was built with) — experimental; see the module docstring for
+    why it is off by default.
     """
     h = jnp.transpose(x, (0, 2, 1))
     if dtype is not None:
@@ -216,8 +306,10 @@ def stofnet_apply_int8(
         s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
         h = h + s
 
+    chosen = _norm_stack_layers(quant_stack, stack_layers, num_blocks)
+
     def stack_conv(h, i):
-        if quant_stack:
+        if i in chosen:
             y = _qconv(h, q["stack"][f"conv{i}"], impl)
         else:
             y = _conv1d_same(h, f32[f"conv{i}"]["kernel"],

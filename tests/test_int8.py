@@ -236,3 +236,103 @@ def test_int8_no_sgb_variant_runs(rng):
     out = stofnet_apply_int8(q, x, semi_global_scale=1, quant_stack=True)
     assert out.shape == (2, 1, 3200)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_norm_stack_layers_semantics():
+    """stack_layers wins over quant_stack, is deduped/sorted, and is
+    range-checked (models/int8.py:_norm_stack_layers)."""
+    from stofnet_tpu.models.int8 import _norm_stack_layers
+
+    assert _norm_stack_layers(True, None, 13) == tuple(range(2, 13))
+    assert _norm_stack_layers(False, None, 13) == ()
+    assert _norm_stack_layers(False, (12, 2, 2), 13) == (2, 12)
+    assert _norm_stack_layers(True, (5,), 13) == (5,)  # explicit set wins
+    with pytest.raises(ValueError):
+        _norm_stack_layers(False, (1,), 13)
+    with pytest.raises(ValueError):
+        _norm_stack_layers(False, (13,), 13)
+
+
+def test_stack_layers_empty_matches_sgb_only(rng):
+    """stack_layers=() is exactly the serving default (SGB-only int8)."""
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    q = quantize_stofnet(variables, x)
+    a = np.asarray(stofnet_apply_int8(q, x, dtype=None))
+    b = np.asarray(stofnet_apply_int8(q, x, dtype=None, stack_layers=()))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_eq_folded_weights_roundtrip(rng):
+    """Equalization algebra (quantize_stofnet eq_alpha): the stored kernel
+    is w*s quantized per-output-channel, the activation divides by s at
+    runtime — so dequantizing the stored kernel and multiplying by inv_eq
+    must recover the ORIGINAL kernel within the per-channel quant step
+    (i.e. the rescale is exact in real arithmetic; only rounding moved)."""
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    for alpha in (0.0, 0.5, 1.0):
+        q = quantize_stofnet(variables, x, quant_stack=True, eq_alpha=alpha)
+        for i in range(2, 13):
+            layer = q["stack"][f"conv{i}"]
+            k = np.asarray(variables["params"][f"conv{i}"]["kernel"])
+            wq = np.asarray(layer["wq"], np.float32)
+            ws = np.asarray(layer["wscale"])            # (1, 1, Cout)
+            inv = np.asarray(layer["inv_eq"])[0, 0]     # (Cin,)
+            rec = wq * ws * inv[None, :, None]
+            bound = 0.5 * ws * inv[None, :, None] + 1e-7
+            assert (np.abs(rec - k) <= bound).all(), f"conv{i} alpha={alpha}"
+
+
+def test_stack_input_absmax_matches_captured_intermediates(rng):
+    """_stack_input_absmax (the eq calibration forward) mirrors the real
+    model: reconstruct every stack conv's input from flax
+    capture_intermediates by replaying the residual schedule, and the
+    collected per-channel absmaxes must match."""
+    from stofnet_tpu.models.int8 import _stack_input_absmax
+
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    _, mods = model.apply(variables, x, capture_intermediates=True)
+    inter = mods["intermediates"]
+
+    got = jax.tree.map(np.asarray, _stack_input_absmax(variables, x))
+
+    h = np.asarray(inter["semi_global_block"]["__call__"][0])  # conv2 input
+    residual_layers = set(range(3, 12, 2))
+    res = h
+    for i in range(2, 12):
+        want = np.abs(h).max(axis=(0, 1))
+        np.testing.assert_allclose(got[f"conv{i}"][0, 0], want,
+                                   rtol=1e-5, atol=1e-6, err_msg=f"conv{i}")
+        y = np.asarray(inter[f"conv{i}"]["__call__"][0])
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = np.where(y >= 0, y, 0.01 * y)
+    np.testing.assert_allclose(got["conv12"][0, 0], np.abs(h).max(axis=(0, 1)),
+                               rtol=1e-5, atol=1e-6, err_msg="conv12")
+
+
+def test_partial_stack_eq_runs_close_to_f32(rng):
+    """Partial-stack int8 with equalization: runs, right shape, and the
+    heatmap deviation stays in the quantization-noise band (loose bound —
+    decode-agreement gating happens at serve time, bench.py)."""
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    ref = np.asarray(model.apply(variables, x))
+    q = quantize_stofnet(variables, x, stack_layers=(2, 12), eq_alpha=0.5)
+    out = np.asarray(stofnet_apply_int8(q, x, dtype=None,
+                                        stack_layers=(2, 12)))
+    assert out.shape == ref.shape
+    dev = np.abs(out - ref).max() / np.abs(ref).max()
+    assert dev < 0.05, f"relative heatmap deviation {dev:.4f}"
+
+    # mismatched build/apply sets must fail loudly, not silently serve f32
+    with pytest.raises(KeyError):
+        stofnet_apply_int8(q, x, dtype=None, stack_layers=(2, 7))
