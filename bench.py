@@ -116,6 +116,12 @@ def make_gate_batch(batch: int, length: int, rng) -> "np.ndarray":
     x /= np.abs(x).max(axis=-1, keepdims=True)
     return x[:, None, :].astype(np.float32)
 V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e (v5 lite) bf16 systolic peak
+# Partial-stack int8 serving config, chosen by the CPU per-layer
+# sensitivity sweep on echo-bearing gate batches
+# (scripts/int8_stack_sweep.py; None disables the xla-int8stack
+# candidate). Filled in once the sweep lands a gate-passing subset.
+INT8_STACK_LAYERS = None
+INT8_STACK_ALPHA = None
 MOSAIC_RETRIES = 3
 MOSAIC_BACKOFF_S = 30.0
 FETCH_RETRIES = 3
@@ -417,7 +423,8 @@ def try_packed_pipeline(variables, overrides, x, coords_ref):
         return None
 
 
-def try_int8_pipeline(variables, overrides, x, coords_ref):
+def try_int8_pipeline(variables, overrides, x, coords_ref,
+                      stack_layers=None, eq_alpha=None, tag="int8-sgb"):
     """The int8-SGB XLA path (models/int8.py): the SemiGlobalBlock's
     contract conv — the pipeline's entire gap over roofline (4.2 ms of
     10.3 at B=128: 2.6 ms HBM round-trip of the (B, L, 512) pre-pool
@@ -427,7 +434,12 @@ def try_int8_pipeline(variables, overrides, x, coords_ref):
     decoded-coord agreement as every other path (measured at the bf16
     floor on CPU, models/int8.py docstring). Tries the integer-conv
     lowering first, the shifted-s8-matmul fallback if the backend rejects
-    it."""
+    it.
+
+    ``stack_layers``/``eq_alpha`` additionally run the chosen k=7 stack
+    convs on the s8 MXU path (partial-stack config from the CPU
+    sensitivity sweep, INT8_STACK_LAYERS) — same gate, separate ``tag``.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -436,11 +448,13 @@ def try_int8_pipeline(variables, overrides, x, coords_ref):
     decode = make_decoder(overrides)
 
     try:
-        q = quantize_stofnet(variables, x, **overrides)
+        q = quantize_stofnet(variables, x, stack_layers=stack_layers,
+                             eq_alpha=eq_alpha, **overrides)
     except FetchTimeout:
         raise
     except Exception as e:  # noqa: BLE001
-        log(f"int8 calibration failed ({type(e).__name__}: {str(e)[:120]})")
+        log(f"int8 calibration ({tag}) failed "
+            f"({type(e).__name__}: {str(e)[:120]})")
         return None
 
     for impl in ("conv", "dots"):
@@ -450,24 +464,25 @@ def try_int8_pipeline(variables, overrides, x, coords_ref):
         def make_pipe(_impl):
             @jax.jit
             def pipe(v, xb):
-                return decode(stofnet_apply_int8(q, xb, dtype=jnp.bfloat16,
-                                                 impl=_impl, **overrides))
+                return decode(stofnet_apply_int8(
+                    q, xb, dtype=jnp.bfloat16, impl=_impl,
+                    stack_layers=stack_layers, **overrides))
 
             return pipe
 
         pipe = make_pipe(impl)
         try:
             cq = fetch(lambda: np.asarray(pipe(variables, x)),
-                       f"int8 parity gate ({impl})")
+                       f"{tag} parity gate ({impl})")
             agree = np.mean(np.abs(coords_ref - cq) <= 1.0)
-            log(f"int8-sgb pipeline ({impl}): coord agreement {agree:.4f}")
+            log(f"{tag} pipeline ({impl}): coord agreement {agree:.4f}")
             if agree >= 0.99:
                 return pipe
             return None  # agreement is impl-independent: don't retry
         except FetchTimeout:
             raise
         except Exception as e:  # noqa: BLE001
-            log(f"int8-sgb pipeline ({impl}) failed "
+            log(f"{tag} pipeline ({impl}) failed "
                 f"({type(e).__name__}: {str(e)[:120]})")
     return None
 
@@ -1155,6 +1170,26 @@ def main() -> None:
         except Exception:
             log("int8-sgb stream failed; xla path stands")
 
+    # partial-stack int8 path: the sweep-chosen subset of the k=7 stack
+    # convs additionally on the s8 MXU path (INT8_STACK_LAYERS); tried only
+    # when the base int8-SGB path gated on (the stack config strictly adds
+    # rounding on top of it, so a failed base gate makes this a lost cause)
+    wf_int8stack = None
+    if pipe_int8 is not None and INT8_STACK_LAYERS:
+        pipe_int8stack = try_int8_pipeline(
+            variables, overrides, x, c32, stack_layers=INT8_STACK_LAYERS,
+            eq_alpha=INT8_STACK_ALPHA, tag="int8-stack")
+        if pipe_int8stack is not None:
+            try:
+                wf_int8stack, dts = sustained_wf_s(pipe_int8stack, variables,
+                                                   BATCH, 50)
+                log(f"stream B={BATCH} k=50 (int8-stack): "
+                    f"{dts * 1e3:.2f} ms/batch -> {wf_int8stack:.1f} wf/s")
+            except FetchTimeout:
+                raise
+            except Exception:
+                log("int8-stack stream failed; faster gated path stands")
+
     # Pallas path, measured alongside (exact per tests/test_pallas_kernels.py)
     wf_fused = None
     pipe_fused = (try_fused_pipeline(variables, overrides, x, c32)
@@ -1174,6 +1209,8 @@ def main() -> None:
         candidates["xla-packed"] = wf_packed
     if wf_int8 is not None:
         candidates["xla-int8sgb"] = wf_int8
+    if wf_int8stack is not None:
+        candidates["xla-int8stack"] = wf_int8stack
     if wf_fused is not None:
         candidates["pallas-fused"] = wf_fused
     best_path = max(candidates, key=candidates.get)
@@ -1204,6 +1241,7 @@ def main() -> None:
         "xla_wf_s": round(wf_xla, 1),
         "packed_wf_s": round(wf_packed, 1) if wf_packed else None,
         "int8_wf_s": round(wf_int8, 1) if wf_int8 else None,
+        "int8stack_wf_s": round(wf_int8stack, 1) if wf_int8stack else None,
         "pallas_wf_s": round(wf_fused, 1) if wf_fused else None,
         "host_fed_wf_s": round(wf_host, 1) if wf_host else None,
         "mfu_pct": round(mfu, 1) if mfu is not None else None,
