@@ -122,6 +122,7 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e (v5 lite) bf16 systolic peak
 # candidate). Filled in once the sweep lands a gate-passing subset.
 INT8_STACK_LAYERS = None
 INT8_STACK_ALPHA = None
+INT8_STACK_BC = False  # calibration-time PTQ bias correction (int8.py)
 MOSAIC_RETRIES = 3
 MOSAIC_BACKOFF_S = 30.0
 FETCH_RETRIES = 3
@@ -424,7 +425,8 @@ def try_packed_pipeline(variables, overrides, x, coords_ref):
 
 
 def try_int8_pipeline(variables, overrides, x, coords_ref,
-                      stack_layers=None, eq_alpha=None, tag="int8-sgb"):
+                      stack_layers=None, eq_alpha=None, bias_correct=False,
+                      tag="int8-sgb"):
     """The int8-SGB XLA path (models/int8.py): the SemiGlobalBlock's
     contract conv — the pipeline's entire gap over roofline (4.2 ms of
     10.3 at B=128: 2.6 ms HBM round-trip of the (B, L, 512) pre-pool
@@ -449,7 +451,8 @@ def try_int8_pipeline(variables, overrides, x, coords_ref,
 
     try:
         q = quantize_stofnet(variables, x, stack_layers=stack_layers,
-                             eq_alpha=eq_alpha, **overrides)
+                             eq_alpha=eq_alpha, bias_correct=bias_correct,
+                             **overrides)
     except FetchTimeout:
         raise
     except Exception as e:  # noqa: BLE001
@@ -1178,7 +1181,8 @@ def main() -> None:
     if pipe_int8 is not None and INT8_STACK_LAYERS:
         pipe_int8stack = try_int8_pipeline(
             variables, overrides, x, c32, stack_layers=INT8_STACK_LAYERS,
-            eq_alpha=INT8_STACK_ALPHA, tag="int8-stack")
+            eq_alpha=INT8_STACK_ALPHA, bias_correct=INT8_STACK_BC,
+            tag="int8-stack")
         if pipe_int8stack is not None:
             try:
                 wf_int8stack, dts = sustained_wf_s(pipe_int8stack, variables,

@@ -53,11 +53,12 @@ def main() -> None:
         refs[seed] = np.asarray(pipe_f32(variables, draws[seed]))
         print(f"f32 ref ready seed={seed}", flush=True)
 
-    def run(tag, stack_layers, eq_alpha):
+    def run(tag, stack_layers, eq_alpha, bias_correct=False):
         for seed in seeds:
             x = draws[seed]
             q = quantize_stofnet(variables, x, stack_layers=stack_layers,
-                                 eq_alpha=eq_alpha, **overrides)
+                                 eq_alpha=eq_alpha,
+                                 bias_correct=bias_correct, **overrides)
 
             @jax.jit
             def pipe(q, xb):
@@ -86,6 +87,16 @@ def main() -> None:
         layers = tuple(int(t) for t in sys.argv[2].split(","))
         alpha = float(sys.argv[3]) if len(sys.argv) > 3 else None
         run(f"subset {layers} a={alpha}", layers, alpha)
+    elif phase == "bc":
+        # bias-corrected variants (quantize_stofnet bias_correct=True):
+        # full stack with/without equalization, plus the argv[2:] subset
+        for a in (0.5, None):
+            run(f"full bc a={a}", full, a, bias_correct=True)
+        if len(sys.argv) > 2:
+            layers = tuple(int(t) for t in sys.argv[2].split(","))
+            alpha = float(sys.argv[3]) if len(sys.argv) > 3 else None
+            run(f"subset-bc {layers} a={alpha}", layers, alpha,
+                bias_correct=True)
     else:
         raise SystemExit(f"unknown phase {phase}")
 

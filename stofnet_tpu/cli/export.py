@@ -6,6 +6,8 @@ main.py:291-347); see ``stofnet_tpu/serve.py`` for the design. Usage::
     python -m stofnet_tpu.cli.export model_file=different-armadillo \
         out=stofnet_b128.jaxexp batch=128 length=8000 [th=Null]
         [ckpt_dir=...] [platforms=cpu,tpu] [max_echoes=64] [window_size=20]
+        [int8_calib=x.npy [int8_stack=4,8,10] [int8_eq_alpha=0.5]
+         [int8_bias_correct=True]]
 
 ``batch=b`` (any symbolic name) exports one BATCH-POLYMORPHIC artifact
 that serves every batch size; length stays static (the decode top_k and
@@ -39,6 +41,10 @@ def parse_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 _KNOWN_KEYS = frozenset({
     "model_file", "out", "ckpt_dir", "platforms", "th", "batch", "length",
     "window_size", "max_echoes", "int8_calib",
+    # partial-stack int8 serving config (with int8_calib; see
+    # serve.make_pipeline): int8_stack=4,8,10 int8_eq_alpha=0.5
+    # int8_bias_correct=True
+    "int8_stack", "int8_eq_alpha", "int8_bias_correct",
     # architecture overrides (win over params-tree inference — needed
     # where the architecture is not recoverable from shapes, e.g. a
     # non-default semi_global_scale pooling factor)
@@ -93,6 +99,27 @@ def load_calib(args: Dict[str, Any]):
     return calib
 
 
+def load_stack_cfg(args: Dict[str, Any]) -> Dict[str, Any]:
+    """``int8_stack=4,8,10`` (or a YAML list) + ``int8_eq_alpha=`` +
+    ``int8_bias_correct=`` → partial-stack kwargs for make_pipeline."""
+    raw = args.get("int8_stack")
+    if raw in (None, ""):
+        layers = None
+    elif isinstance(raw, (list, tuple)):
+        layers = tuple(int(i) for i in raw)
+    else:
+        layers = tuple(int(t) for t in str(raw).split(","))
+    if layers and not args.get("int8_calib"):
+        raise SystemExit("int8_stack= requires int8_calib= (the stack "
+                         "scales are calibrated)")
+    alpha = args.get("int8_eq_alpha")
+    return {
+        "int8_stack_layers": layers,
+        "int8_eq_alpha": None if alpha in (None, "Null") else float(alpha),
+        "int8_bias_correct": bool(args.get("int8_bias_correct", False)),
+    }
+
+
 def main(argv: Optional[List[str]] = None) -> str:
     args = parse_args(argv)
     unknown = set(args) - _KNOWN_KEYS
@@ -127,7 +154,7 @@ def main(argv: Optional[List[str]] = None) -> str:
         window_size=int(args.get("window_size", 20)),
         threshold=None if th in (None, "Null") else float(th),
         max_echoes=int(args.get("max_echoes", 64)),
-        int8_calib=calib)
+        int8_calib=calib, **load_stack_cfg(args))
     p = save_pipeline(out, blob)
     print(f"exported {p} ({len(blob) / 1e6:.2f} MB, "
           f"platforms={','.join(platforms)}, "

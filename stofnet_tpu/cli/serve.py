@@ -11,7 +11,8 @@ or straight from a checkpoint (jit-compiles locally; accepts the same
 architecture-override keys as the exporter, plus int8_calib=)::
 
     python -m stofnet_tpu.cli.serve model_file=different-armadillo \
-        length=8000 port=7733 [th=Null] [max_echoes=64] [int8_calib=x.npy]
+        length=8000 port=7733 [th=Null] [max_echoes=64] [int8_calib=x.npy
+        [int8_stack=4,8,10] [int8_eq_alpha=0.5] [int8_bias_correct=True]]
 
 Tuning: ``max_batch=`` (largest coalesced device batch), ``max_wait_ms=``
 (latency the oldest request may spend waiting for the batch to fill),
@@ -32,12 +33,13 @@ import sys
 import threading
 from typing import Any, Dict, List, Optional, Tuple
 
-from stofnet_tpu.cli.export import (load_calib, parse_args,
+from stofnet_tpu.cli.export import (load_calib, load_stack_cfg, parse_args,
                                     resolve_variables_and_overrides)
 
 _KNOWN_KEYS = frozenset({
     "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
-    "max_echoes", "int8_calib", "host", "port", "max_batch", "max_wait_ms",
+    "max_echoes", "int8_calib", "int8_stack", "int8_eq_alpha",
+    "int8_bias_correct", "host", "port", "max_batch", "max_wait_ms",
     "warmup", "mesh", "mesh_dp",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
 })
@@ -107,7 +109,7 @@ def build(args: Dict[str, Any]):
             window_size=int(args.get("window_size", 20)),
             threshold=None if th in (None, "Null") else float(th),
             max_echoes=int(args.get("max_echoes", 64)),
-            int8_calib=load_calib(args)))
+            int8_calib=load_calib(args), **load_stack_cfg(args)))
         length = int(args["length"])
         max_batch = int(args.get("max_batch", 128))
         buckets = None

@@ -139,6 +139,54 @@ def _stack_input_absmax(variables: Any, x: jnp.ndarray,
     return absmax
 
 
+@partial(jax.jit, static_argnames=("chosen", "num_blocks",
+                                   "semi_global_scale", "impl"))
+def _stack_bias_deltas(variables: Any, calib_x: jnp.ndarray, q: dict,
+                       chosen: tuple, num_blocks: int = 13,
+                       semi_global_scale: int = 80,
+                       impl: str = "conv") -> dict:
+    """Per-output-channel quantization bias of each chosen stack conv on
+    the calibration batch: ``E[conv_f32(h) - qconv(h)]`` over (B, L) with
+    ``h`` the F32 trajectory's layer input (standard PTQ bias correction,
+    Nagel et al. 2019). Adding the delta to the stored bias cancels the
+    systematic (mean) component of the rounding error at zero runtime
+    cost; the residual error is then zero-mean per channel. Walks
+    StofNet.__call__ (models/stofnet.py:83-118) exactly like
+    `_stack_input_absmax`."""
+    p = variables["params"]
+    h = jnp.transpose(calib_x, (0, 2, 1)).astype(jnp.float32)
+    h = jax.nn.relu(_conv1d_same(h, *_kb(p, "conv1")))
+    if semi_global_scale != 1:
+        v = _conv1d_same(h, *_kb(p, "semi_global_block.contract_conv"))
+        rows = v.shape[1] // semi_global_scale
+        s = jnp.max(v[:, : rows * semi_global_scale].reshape(
+            v.shape[0], rows, semi_global_scale, v.shape[2]), axis=2)
+        s = jnp.where(s >= 0, s, 0.01 * s)
+        s = _conv1d_same(s, *_kb(p, "semi_global_block.expand_conv"))
+        s = jax.nn.leaky_relu(s, 0.01)
+        s = jnp.repeat(s, semi_global_scale, axis=1)
+        pad = max(0, h.shape[1] - s.shape[1])
+        s = jnp.pad(s, ((0, 0), (pad // 2, pad // 2), (0, 0)))
+        h = h + s
+
+    deltas = {}
+    residual_layers = set(range(3, num_blocks - 1, 2))
+    res = h
+    for i in range(2, num_blocks):
+        y = _conv1d_same(h, *_kb(p, f"conv{i}"))
+        if i in chosen:
+            yq = _qconv(h, q["stack"][f"conv{i}"], impl)
+            deltas[f"conv{i}"] = jnp.mean(y - yq, axis=(0, 1))
+        if i == num_blocks - 1:  # conv{last-1} feeds the res1 skip-add only
+            break
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = jax.nn.leaky_relu(y, 0.01)
+    return deltas
+
+
 def _norm_stack_layers(quant_stack, stack_layers, num_blocks):
     """The set of stack convs to run in int8: ``stack_layers`` (a tuple of
     layer indices in [2, num_blocks-1]) wins when given; else quant_stack
@@ -157,7 +205,8 @@ def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
                      semi_global_scale: int = 80,
                      quant_stack: bool = False,
                      stack_layers: Optional[tuple] = None,
-                     eq_alpha: Optional[float] = None) -> dict:
+                     eq_alpha: Optional[float] = None,
+                     bias_correct: bool = False) -> dict:
     """Build the int8 serving state from a trained parameter tree.
 
     ``calib_x`` is a representative (B, 1, L) batch; its calibration
@@ -178,6 +227,10 @@ def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
     range into the weights BEFORE each is rounded. alpha=1 is the
     documented-catastrophic full fold (module docstring); fractional alpha
     balances the two rounding errors.
+
+    ``bias_correct=True`` adds each quantized stack conv's calibrated mean
+    rounding error back into its bias (`_stack_bias_deltas`): zero runtime
+    cost, cancels the systematic per-channel error component.
     """
     p = variables["params"]
     q: dict = {"f32": {}}
@@ -219,6 +272,12 @@ def quantize_stofnet(variables: Any, calib_x: jnp.ndarray,
             wq, ws = quantize_weight(k)
             layer.update(wq=wq, wscale=ws)
             q["stack"][f"conv{i}"] = layer
+        if bias_correct:
+            deltas = _stack_bias_deltas(variables, calib_x, q, chosen,
+                                        num_blocks, semi_global_scale)
+            for i in chosen:
+                lay = q["stack"][f"conv{i}"]
+                lay["bias"] = lay["bias"] + deltas[f"conv{i}"]
     return q
 
 

@@ -31,7 +31,10 @@ import numpy as np
 def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                   *, window_size: int = 20, threshold: Optional[float] = None,
                   max_echoes: int = 64, dtype: Any = None,
-                  int8_calib: Any = None):
+                  int8_calib: Any = None,
+                  int8_stack_layers: Optional[Tuple[int, ...]] = None,
+                  int8_eq_alpha: Optional[float] = None,
+                  int8_bias_correct: bool = False):
     """The serving callable ``x (B, 1, L) f32 -> coords`` with weights
     closed over: StofNet forward (bf16 by default) + the protocol decode
     in the checkpoint's own upsample units (reference main.py:291-321).
@@ -42,7 +45,15 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     scales stay dynamic per waveform), and the QUANTIZED state is what
     gets baked into the export. Calibrate on echo-bearing data
     (docs/DESIGN.md: noise-only calibration passes noise gates but can
-    shift echo decodes)."""
+    shift echo decodes).
+
+    ``int8_stack_layers`` / ``int8_eq_alpha`` / ``int8_bias_correct``
+    (with ``int8_calib``) additionally run the chosen k=7 stack convs on
+    the s8 MXU path with SmoothQuant-style equalization and PTQ bias
+    correction — the partial-stack serving config the CPU sensitivity
+    sweep picks (scripts/int8_stack_sweep.py, bench.py
+    INT8_STACK_LAYERS). Validate decode agreement on YOUR data before
+    serving a stack config."""
     import jax.numpy as jnp
 
     from stofnet_tpu.ops import mask2coords
@@ -62,10 +73,15 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
         qkw = {k: int(v) for k, v in overrides.items()
                if k in ("upsample_factor", "num_blocks",
                         "semi_global_scale")}
-        q = quantize_stofnet(variables, jnp.asarray(int8_calib), **qkw)
+        stack = (tuple(int(i) for i in int8_stack_layers)
+                 if int8_stack_layers else None)
+        q = quantize_stofnet(variables, jnp.asarray(int8_calib),
+                             stack_layers=stack, eq_alpha=int8_eq_alpha,
+                             bias_correct=int8_bias_correct, **qkw)
 
         def pipe(x):
-            return decode(stofnet_apply_int8(q, x, dtype=dtype, **qkw))
+            return decode(stofnet_apply_int8(q, x, dtype=dtype,
+                                             stack_layers=stack, **qkw))
 
         return pipe
 

@@ -336,3 +336,45 @@ def test_partial_stack_eq_runs_close_to_f32(rng):
     # mismatched build/apply sets must fail loudly, not silently serve f32
     with pytest.raises(KeyError):
         stofnet_apply_int8(q, x, dtype=None, stack_layers=(2, 7))
+
+
+def test_bias_correct_zeroes_calibration_mean_error(rng):
+    """PTQ bias correction (quantize_stofnet bias_correct=True): after
+    adding the calibrated deltas, each chosen stack conv's per-output-
+    channel MEAN error vs the f32 conv — on the calibration batch's f32
+    trajectory, the exact quantity `_stack_bias_deltas` estimates — is
+    zero to float tolerance. Inputs are reconstructed independently from
+    flax capture_intermediates by replaying the residual schedule
+    (models/stofnet.py:83-118), so the walk itself is cross-checked."""
+    from stofnet_tpu.models.int8 import _qconv
+
+    model = StofNet()
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    chosen = (2, 5, 11, 12)
+    qc = quantize_stofnet(variables, x, stack_layers=chosen, eq_alpha=0.5,
+                          bias_correct=True)
+
+    _, mods = model.apply(variables, x, capture_intermediates=True)
+    inter = mods["intermediates"]
+    h = np.asarray(inter["semi_global_block"]["__call__"][0])  # conv2 input
+    residual_layers = set(range(3, 12, 2))
+    res = h
+    for i in range(2, 13):
+        if i in chosen:
+            y32 = np.asarray(inter[f"conv{i}"]["__call__"][0])
+            yq = np.asarray(_qconv(jnp.asarray(h), qc["stack"][f"conv{i}"],
+                                   "conv"))
+            mean_err = np.abs((y32 - yq).mean(axis=(0, 1)))
+            bound = 1e-4 * max(np.abs(y32).max(), 1.0)
+            assert mean_err.max() < bound, (
+                f"conv{i}: corrected mean error {mean_err.max():.2e} "
+                f"vs bound {bound:.2e}")
+        if i == 12:
+            break
+        y = np.asarray(inter[f"conv{i}"]["__call__"][0])
+        if i in residual_layers:
+            h = res + y
+            res = h
+        else:
+            h = np.where(y >= 0, y, 0.01 * y)

@@ -165,3 +165,55 @@ def test_batch_polymorphic_export(small_ckpt, tmp_path):
         x = rng.standard_normal((b, 1, 800)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(served8(jnp.asarray(x))),
                                       np.asarray(live8(jnp.asarray(x))))
+
+
+def test_int8_stack_export_roundtrip(small_ckpt, tmp_path):
+    """Partial-stack int8 serving config (int8_stack_layers + eq_alpha +
+    bias_correct, serve.make_pipeline): the exported artifact equals the
+    live partial-stack pipeline bit-for-bit, and the config actually
+    changes the program (differs from the SGB-only int8 export on the
+    same calibration)."""
+    variables, overrides = small_ckpt
+    t = np.arange(800, dtype=np.float32)
+    calib = np.stack([
+        (np.exp(-0.5 * ((t - p0) / 12.0) ** 2)
+         * np.sin(2 * np.pi * t / 20.0))[None]
+        for p0 in (150.0, 300.0, 450.0, 600.0)]).astype(np.float32)
+
+    kw = dict(max_echoes=4, int8_calib=calib, int8_stack_layers=(2, 3),
+              int8_eq_alpha=0.5, int8_bias_correct=True)
+    blob = export_pipeline(variables, overrides, batch=2, length=800, **kw)
+    served = load_pipeline(save_pipeline(tmp_path / "qs.jaxexp", blob))
+    live = jax.jit(make_pipeline(variables, overrides, **kw))
+    x = calib[:2]
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(live(jnp.asarray(x))))
+
+    # the stack config changes the PROGRAM, not just the result: its
+    # quantized state carries the s8 stack twins the SGB-only build lacks
+    from stofnet_tpu.models.int8 import quantize_stofnet
+    qkw = {k: int(v) for k, v in overrides.items()
+           if k in ("upsample_factor", "num_blocks", "semi_global_scale")}
+    q = quantize_stofnet(variables, jnp.asarray(calib), stack_layers=(2, 3),
+                         eq_alpha=0.5, bias_correct=True, **qkw)
+    assert set(q["stack"]) == {"conv2", "conv3"}
+    q0 = quantize_stofnet(variables, jnp.asarray(calib), **qkw)
+    assert "stack" not in q0
+
+
+def test_load_stack_cfg_parsing():
+    """cli/export.load_stack_cfg: comma-string and YAML-list forms parse
+    to the same tuple, alpha/bc coerce, and a stack without a calibration
+    batch is refused loudly."""
+    from stofnet_tpu.cli.export import load_stack_cfg
+
+    got = load_stack_cfg({"int8_stack": "4,8,10", "int8_calib": "x.npy",
+                          "int8_eq_alpha": 0.5, "int8_bias_correct": True})
+    assert got == {"int8_stack_layers": (4, 8, 10), "int8_eq_alpha": 0.5,
+                   "int8_bias_correct": True}
+    got = load_stack_cfg({"int8_stack": [4, 8, 10], "int8_calib": "x.npy"})
+    assert got["int8_stack_layers"] == (4, 8, 10)
+    assert got["int8_eq_alpha"] is None and not got["int8_bias_correct"]
+    assert load_stack_cfg({})["int8_stack_layers"] is None
+    with pytest.raises(SystemExit, match="int8_calib"):
+        load_stack_cfg({"int8_stack": "4"})
