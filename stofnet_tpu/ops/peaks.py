@@ -44,11 +44,20 @@ def threshold_scores(
     scores: jnp.ndarray, threshold: Optional[float] = None
 ) -> jnp.ndarray:
     """Zero out sub-threshold scores; with no/zero threshold keep only each
-    row's maximum (the reference's ``if threshold:`` falsy semantics)."""
-    if threshold:
-        return jnp.where(scores < threshold, jnp.zeros_like(scores), scores)
-    mx = jnp.max(scores, axis=-1, keepdims=True)
-    return jnp.where(scores < mx, jnp.zeros_like(scores), scores)
+    row's maximum (the reference's ``if threshold:`` falsy semantics).
+
+    ``threshold`` may also be a traced 0-d array (so decode vmaps over a
+    threshold vector — parallel/array.py's one-program threshold sweep).
+    The falsy per-row-max mode is a structural branch, so it applies only
+    to concrete values; a traced threshold must be a real (> 0) value.
+    """
+    from jax.core import Tracer
+
+    if threshold is None or (not isinstance(threshold, Tracer)
+                             and not threshold):
+        mx = jnp.max(scores, axis=-1, keepdims=True)
+        return jnp.where(scores < mx, jnp.zeros_like(scores), scores)
+    return jnp.where(scores < threshold, jnp.zeros_like(scores), scores)
 
 
 def mask2coords(
