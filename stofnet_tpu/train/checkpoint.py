@@ -32,15 +32,22 @@ def load_checkpoint(path: str | Path,
 
 
 def find_checkpoint(ckpt_dir: str | Path, model_file: str) -> Optional[Path]:
-    """Prefix-match ``model_file``'s first token against ckpt_dir entries
-    (the reference's lookup, main.py:174)."""
+    """Prefix-match ``model_file`` against ckpt_dir entries.
+
+    Two passes: first the FULL ``model_file`` string (so array-member
+    checkpoints sharing a run-name first token — ``{run}_seed3008`` vs
+    ``{run}_seed3009`` — stay addressable), then the reference's
+    first-token-before-``_`` prefix (main.py:174). The fallback keeps
+    every lookup that works in the reference working here.
+    """
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return None
-    prefix = str(model_file).split("_")[0]
-    for fn in sorted(ckpt_dir.iterdir()):
-        if fn.name.startswith(prefix):
-            return fn
+    entries = sorted(ckpt_dir.iterdir())
+    for prefix in (str(model_file), str(model_file).split("_")[0]):
+        for fn in entries:
+            if fn.name.startswith(prefix):
+                return fn
     return None
 
 

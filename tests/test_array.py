@@ -346,6 +346,56 @@ def test_cli_th_sweep_rejects_falsy(chirp_root, tmp_path):
         run(cfg)
 
 
+def test_find_checkpoint_full_prefix_disambiguates(tmp_path):
+    """Array members share the run-name first token; the full-string pass
+    must distinguish them while the reference's first-token fallback
+    (main.py:174) still resolves plain names."""
+    from stofnet_tpu.train.checkpoint import find_checkpoint
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    a = d / "brave-fox-7_seed3008_rf-scale4_epoch_2"
+    b = d / "brave-fox-7_seed3009_rf-scale4_epoch_2"
+    a.mkdir(), b.mkdir()
+    assert find_checkpoint(d, "brave-fox-7_seed3009") == b
+    assert find_checkpoint(d, "brave-fox-7_seed3008") == a
+    # reference-style first-token lookup still works (first sorted match)
+    assert find_checkpoint(d, "brave-fox-7") == a
+    assert find_checkpoint(d, "no-such") is None
+
+
+def test_cli_eval_array_model_files(chirp_root, tmp_path):
+    """Positive model_files= e2e: train 2 seeds, then evaluate BOTH member
+    checkpoints in one array program — each member label resolves to its
+    own checkpoint (not the first sorted run entry)."""
+    from stofnet_tpu.cli.array import run
+    from stofnet_tpu.train.checkpoint import find_checkpoint
+
+    tcfg = _cfg(tmp_path, data_dir=str(chirp_root), seeds=2, epochs=1,
+                batch_size=4, model="stofnet", rf_scale_factor=4,
+                max_echoes=8, crop_ratio=0.75)
+    tout = run(tcfg)
+    names = [f"{tout['run_name']}_seed{m['seed']}"
+             for m in tout["members"]]
+    paths = [find_checkpoint(tcfg.ckpt_dir, n) for n in names]
+    assert paths[0] != paths[1] and None not in paths
+
+    # explicit small th: a 1-epoch model's per-row max (th=Null) can sit
+    # at position 0 = the invalid slot, making every row's jaccard the
+    # reference's 0/0 NaN; a fixed threshold keeps detections flowing
+    ecfg = _cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+                model="stofnet", model_files=names, batch_size=2,
+                rf_scale_factor=4, max_echoes=8, etol=1600, th=0.001)
+    out = run(ecfg)
+    assert out["mode"] == "eval_array"
+    assert [r["member"] for r in out["rows"]] == names
+    for r in out["rows"]:
+        assert np.isfinite(r["total_jaccard"])
+        assert np.isfinite(r["val_loss"])
+    # one-epoch members differ -> their eval losses must differ too
+    assert out["rows"][0]["val_loss"] != out["rows"][1]["val_loss"]
+
+
 def test_cli_eval_array_missing_ckpt_is_loud(chirp_root, tmp_path):
     from stofnet_tpu.cli.array import run
 
