@@ -18,6 +18,14 @@ Claims under test: (a) array4@B32 costs far less than 4x solo@B32 —
 ideally ~solo@B128 (members pack the chip like batch does); (b) an
 8-threshold sweep costs ~1 forward, not 8.
 
+MEASURED (2026-08-19, docs/ARRAY_BENCH_r3.json): (a) is FALSE on one
+chip — per-member weights make the convs grouped, so members don't merge
+into larger MXU contractions: array4@B32 113.4 ms vs 4x solo@B32
+116.8 ms (1.03x, dispatch amortization only) vs solo@B128 65.3 ms. The
+array's parallel win is member-per-device mesh sharding, not vmap.
+(b) holds: 2.98x at T=8 (53.1 vs 8x 19.7 ms; decode+metrics tail
+~4.8 ms per threshold).
+
 All scan bodies consume per-iteration staged data (CLAUDE.md TIMING
 TRAP). Run on the real chip: ``python scripts/bench_array.py``; writes
 docs/ARRAY_BENCH_r3.json.

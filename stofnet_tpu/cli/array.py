@@ -15,6 +15,17 @@ Three modes, selected by the config keys present:
       python -m stofnet_tpu.cli.array seeds=4 model=stofnet epochs=20 \\
           data_dir=datasets/stof_chirp101_dataset [mesh=True mesh_dp=4]
 
+  ``lrs=[...]`` sweeps the learning rate across members instead of (or on
+  top of) the seed: with ``lrs`` alone every member starts from the SAME
+  init so the comparison isolates the lr (exact per-member AdamW lr via
+  update scaling, parallel/array.py); with ``seeds=N lrs=[N values]`` each
+  member gets its own (seed, lr) pair. This is the reference's
+  hyperparameter-array-row use case (train_pala_array.sh:31-40) as one
+  compiled program.
+
+      python -m stofnet_tpu.cli.array lrs='[1e-4,5e-4,1e-3]' model=stofnet \\
+          epochs=20 data_dir=datasets/stof_chirp101_dataset
+
 - ``model_files=[a,b,...]`` (eval): evaluate N same-architecture
   checkpoints over the test split in one program; per-member metric rows
   in the sweep table schema.
@@ -111,8 +122,24 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     from stofnet_tpu.train.early_stop import EarlyStopping
     from stofnet_tpu.train.steps import make_optimizer, state_variables
 
-    n = int(cfg.seeds)
-    seeds = [int(cfg.seed) + i for i in range(n)]
+    lrs = [float(x) for x in cfg.get("lrs") or []]
+    if lrs:
+        if any(lr <= 0 for lr in lrs):
+            raise ValueError(f"lrs must be positive, got {lrs}")
+        n = len(lrs)
+        if cfg.get("seeds") and int(cfg.seeds) != n:
+            raise ValueError(f"seeds={cfg.seeds} but {n} lrs given; with "
+                             f"both keys each member is one (seed, lr) pair")
+        # lrs alone: SAME init for every member so the sweep isolates the lr
+        same_init = not cfg.get("seeds")
+        seeds = ([int(cfg.seed)] * n if same_init
+                 else [int(cfg.seed) + i for i in range(n)])
+        lr_scales = [lr / float(cfg.lr) for lr in lrs]
+    else:
+        n = int(cfg.seeds)
+        seeds = [int(cfg.seed) + i for i in range(n)]
+        same_init = False
+        lr_scales = None
     ctx = setup(cfg)
     ds, info, kind = ctx["dataset"], ctx["info"], ctx["info"]["kind"]
     up = int(cfg.upsample_factor)
@@ -129,12 +156,14 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
         epochs=int(cfg.epochs), steps_per_epoch=max(1, len(train_loader)))
     astep = make_array_train_step(
         ctx["model"], optimizer, lcfg, remat=bool(cfg.get("remat", False)),
-        amp=bool(cfg.get("amp", False)), accum=int(cfg.get("accum", 1) or 1))
+        amp=bool(cfg.get("amp", False)), accum=int(cfg.get("accum", 1) or 1),
+        lr_scales=lr_scales)
     aeval = make_array_eval_step(ctx["model"], lcfg)
 
     L = info["sample_num"] * int(cfg.rf_scale_factor)
     state = init_array_state(ctx["model"], optimizer, seeds,
-                             jnp.zeros((1, 1, L)))
+                             jnp.zeros((1, 1, L)),
+                             allow_duplicate_seeds=same_init)
 
     mesh = _member_mesh(cfg, n)
     if mesh is not None:
@@ -144,6 +173,10 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
 
     early = EarlyStopping(patience=int(cfg.patience), delta=float(cfg.delta))
     put = lambda b: tuple(jnp.asarray(x) for x in b)  # noqa: E731
+
+    # unique per-member tags (seed alone collides under a same-init lr sweep)
+    member_tags = [f"seed{s}" + (f"_lr{lrs[i]:g}" if lrs else "")
+                   for i, s in enumerate(seeds)]
 
     val_losses = np.full(n, np.inf)
     epochs_run = 0
@@ -156,10 +189,11 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
             state, aux = astep(state, frame_d, gt_d, gt_true_d)
             losses = np.asarray(aux["loss"])
             if not np.all(np.isfinite(losses)):
-                bad = [seeds[i] for i in np.nonzero(~np.isfinite(losses))[0]]
+                bad = [member_tags[i]
+                       for i in np.nonzero(~np.isfinite(losses))[0]]
                 raise RuntimeError(
-                    f"non-finite train loss in member seed(s) {bad} at "
-                    f"epoch {epoch}; lower the lr or drop those seeds")
+                    f"non-finite train loss in member(s) {bad} at "
+                    f"epoch {epoch}; lower the lr or drop those members")
             step_global += 1
             logger.log({"event": "train", "epoch": epoch,
                         "train_loss_members": losses.tolist()})
@@ -192,7 +226,7 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     host_state = jax.tree.map(np.asarray, state_variables(state))
     host_opt = jax.tree.map(np.asarray, state.opt_state)
     for i, seed in enumerate(seeds):
-        name = (f"{logger.run_name}_seed{seed}"
+        name = (f"{logger.run_name}_{member_tags[i]}"
                 f"_rf-scale{cfg.rf_scale_factor}_epoch_{epochs_run}")
         path = save_checkpoint(ckpt_dir / name, {
             "variables": unstack_tree(host_state, i),
@@ -200,7 +234,9 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
             "step": int(np.asarray(state.step)[i]),
             "epoch": int(epochs_run),
         })
-        members.append({"seed": seed, "val_loss": float(val_losses[i]),
+        members.append({"seed": seed,
+                        **({"lr": lrs[i]} if lrs else {}),
+                        "val_loss": float(val_losses[i]),
                         "val_jaccard": _nanmean(vm[i, :, 3]),
                         "val_rmse": _nanmean(vm[i, :, 0]),
                         "checkpoint": str(path)})
@@ -209,6 +245,7 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     best = int(np.argmin(val_losses))
     summary = {"mode": "train_array", "members": members,
                "best_seed": seeds[best],
+               **({"best_lr": lrs[best]} if lrs else {}),
                "best_val_loss": float(val_losses[best]),
                "epochs": epochs_run}
     logger.set_summary(**{k: v for k, v in summary.items()
@@ -340,7 +377,7 @@ def run(cfg: Config) -> Dict[str, Any]:
                            config=dict(cfg),
                            wandb_group=cfg.logging if cfg.logging else None)
     try:
-        if cfg.get("seeds"):
+        if cfg.get("seeds") or cfg.get("lrs"):
             out = train_array(cfg, logger)
         else:
             out = eval_array(cfg, logger)

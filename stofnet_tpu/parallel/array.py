@@ -12,18 +12,30 @@ This module is the TPU-native replacement promised in SURVEY.md §2.31: N
 same-architecture members (training seeds, checkpoints, or decode
 thresholds) become a single XLA program with a leading *member* axis.
 
-- **vmap over members** — XLA stacks the members' convolutions into larger
-  MXU contractions, so small per-member batches (the array use case) pack
-  into work that actually fills the chip, and N members ride one dispatch
-  stream instead of N processes.
-- **member sharding** — the member axis maps onto the mesh's ``dp`` axis
-  (one member per device = exactly the SLURM-array shape, minus the
-  processes, compiles, and dispatch streams). GSPMD then executes members
-  embarrassingly parallel; with members replicated instead, it shards the
-  batch as usual.
+What each shape buys (hardware-measured, docs/ARRAY_BENCH_r3.json,
+scripts/bench_array.py):
+
+- **vmap over members (single chip)** — N members ride ONE process, ONE
+  compile, and one dispatch stream instead of N of each; compute does NOT
+  merge (per-member weights make the convs grouped, so XLA cannot fuse
+  members into one larger MXU contraction: measured array4@B32 113.4 ms
+  vs 4x solo@B32 116.8 ms — a 1.03x dispatch-overhead win only, nowhere
+  near the 65.3 ms one B=128 model costs). On one chip the array is a
+  convenience/orchestration win, not a throughput win.
+- **member sharding (the real parallel win)** — the member axis maps onto
+  the mesh's ``dp`` axis (one member('s shard) per device = exactly the
+  SLURM-array shape, minus the processes and compiles). GSPMD executes
+  members embarrassingly parallel, so N members on N devices run at ~solo
+  speed; with members replicated instead, it shards the batch as usual.
 - **threshold sweeps run the model once** — the reference re-runs the full
   forward for every threshold row; here one forward is decoded at T
-  thresholds inside the same program (decode is ~2% of the pipeline).
+  thresholds inside the same program. Measured 2.98x at T=8, B=128
+  (53.1 ms vs 8x 19.7 ms): the decode+metrics tail is ~4.8 ms per
+  threshold, so the sweep pays one forward + T tails instead of T
+  full pipelines.
+- **per-member learning rates** — ``lr_scales`` runs member *i* at an
+  exactly-scaled AdamW lr inside the same program (the reference's
+  hyperparameter array rows, one process per config).
 
 Semantics:
 
@@ -89,18 +101,25 @@ def shard_members(mesh, tree):
 
 
 def init_array_state(model, optimizer, seeds: Sequence[int],
-                     sample_input: jnp.ndarray) -> TrainState:
+                     sample_input: jnp.ndarray, *,
+                     allow_duplicate_seeds: bool = False) -> TrainState:
     """Per-seed model inits stacked into one member-axis TrainState.
 
     Each member's params/opt_state/rng match what a solo run with
     ``init_train_state(model.init(jax.random.key(seed), x), opt, seed)``
     would produce, so array training is comparable member-for-member
     against N sequential single-seed runs (tests/test_array.py pins this).
+
+    ``allow_duplicate_seeds`` is for members differentiated by something
+    OTHER than init — e.g. a per-member learning rate sweep wants every
+    member to start from the SAME init so the comparison isolates the lr.
     """
     seeds = [int(s) for s in seeds]
-    if len(set(seeds)) != len(seeds):
+    if len(set(seeds)) != len(seeds) and not allow_duplicate_seeds:
         raise ValueError(f"duplicate seeds in {seeds}: members would be "
-                         f"bit-identical copies")
+                         f"bit-identical copies (pass "
+                         f"allow_duplicate_seeds=True only when per-member "
+                         f"lr_scales differentiate them)")
 
     def one(seed: int) -> TrainState:
         variables = model.init(jax.random.key(seed), sample_input)
@@ -120,18 +139,36 @@ def init_array_state(model, optimizer, seeds: Sequence[int],
 
 def make_array_train_step(model, optimizer, cfg: LossConfig, *,
                           remat: bool = False, amp: bool = False,
-                          accum: int = 1, per_member_data: bool = False):
+                          accum: int = 1, per_member_data: bool = False,
+                          lr_scales: Optional[Sequence[float]] = None):
     """Jitted ``(stacked_state, frame, gt_sample, gt_true) -> (state, aux)``.
 
     vmaps the standard train step (train/steps.py — same loss, BatchNorm,
     dropout, amp/remat/accum recipes) over the member axis. With
     ``per_member_data`` the data arguments carry their own leading member
     axis; otherwise every member sees the same batch.
+
+    ``lr_scales`` (one float per member) runs member *i* at
+    ``lr_scales[i] × `` the optimizer's learning rate — exact for AdamW
+    (the scale multiplies the whole update, which is what lr does in
+    optax.adamw; see train/steps.py:train_step). This is the TPU-native
+    form of the reference's hyperparameter array rows
+    (bash_scripts/train_pala_array.sh:31-40 — one SLURM process per
+    config): an lr sweep becomes N members of one compiled program.
     """
     step = make_train_step(model, optimizer, cfg, remat=remat, amp=amp,
                            accum=accum)
     data_ax = 0 if per_member_data else None
-    return jax.jit(jax.vmap(step, in_axes=(0, data_ax, data_ax, data_ax)))
+    if lr_scales is None:
+        return jax.jit(jax.vmap(step, in_axes=(0, data_ax, data_ax, data_ax)))
+    scales = jnp.asarray([float(s) for s in lr_scales], jnp.float32)
+    vstep = jax.vmap(step, in_axes=(0, data_ax, data_ax, data_ax, 0))
+
+    @jax.jit
+    def scaled_step(state, frame, gt_sample, gt_true):
+        return vstep(state, frame, gt_sample, gt_true, scales)
+
+    return scaled_step
 
 
 def make_array_eval_step(model, cfg: LossConfig, *,

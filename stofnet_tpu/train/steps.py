@@ -147,7 +147,13 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     @jax.jit
-    def train_step(state: TrainState, frame, gt_sample, gt_true):
+    def train_step(state: TrainState, frame, gt_sample, gt_true,
+                   update_scale=None):
+        """``update_scale`` (optional traced scalar) multiplies the optax
+        updates. For optax.adamw this is EXACTLY a learning-rate factor:
+        the update is -lr*(adam_dir + wd*params), so scaling it by s equals
+        running at lr*s with the same weight decay — the hook the job-array
+        harness uses for per-member learning rates (parallel/array.py)."""
         rng = jax.random.fold_in(state.rng, state.step)
         if accum <= 1:
             (loss, batch_stats), grads = grad_fn(
@@ -203,6 +209,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             loss = lsum / accum
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if update_scale is not None:
+            updates = jax.tree.map(lambda u: u * update_scale, updates)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, batch_stats, opt_state, state.step + 1,
                            state.rng),

@@ -404,3 +404,79 @@ def test_cli_eval_array_missing_ckpt_is_loud(chirp_root, tmp_path):
                rf_scale_factor=4, max_echoes=8)
     with pytest.raises(FileNotFoundError, match="no-such-ckpt"):
         run(cfg)
+
+
+def test_lr_scales_match_solo_lr_runs(setup):
+    """Per-member lr via update scaling is EXACT: member i of a same-init
+    lr-sweep array equals an independent solo run built with
+    make_optimizer(lr*scale_i). (AdamW's update is -lr*(dir + wd*p), so
+    scaling the update == scaling the lr, weight decay included —
+    train/steps.py:train_step.)"""
+    model, opt, frame, gt, gt_true = setup
+    cfg = LossConfig()
+    x0 = jnp.zeros((1, 1, LENGTH))
+    scales = [1.0, 3.0]
+
+    astep = make_array_train_step(model, opt, cfg, lr_scales=scales)
+    astate = init_array_state(model, opt, [0, 0], x0,
+                              allow_duplicate_seeds=True)
+    for _ in range(2):
+        astate, aaux = astep(astate, frame, gt, gt_true)
+    # members share init but run at different lrs -> must diverge
+    losses = np.asarray(aaux["loss"])
+    assert losses[0] != losses[1]
+
+    base_lr = 5e-4  # make_optimizer default
+    for i, scale in enumerate(scales):
+        opt_i, _ = make_optimizer(lr=base_lr * scale, steps_per_epoch=1)
+        sstep = make_train_step(model, opt_i, cfg)
+        v = model.init(jax.random.key(0), x0)
+        s = init_train_state(v, opt_i, seed=0)
+        for _ in range(2):
+            s, saux = sstep(s, frame, gt, gt_true)
+        member = unstack_tree(astate.params, i)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5),
+            member, s.params)
+        np.testing.assert_allclose(losses[i], float(saux["loss"]),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_duplicate_seeds_allowed_for_lr_sweep(setup):
+    model, opt, *_ = setup
+    state = init_array_state(model, opt, [5, 5], jnp.zeros((1, 1, LENGTH)),
+                             allow_duplicate_seeds=True)
+    assert n_members(state.params) == 2
+
+
+def test_cli_lr_sweep(chirp_root, tmp_path):
+    """lrs=[...] trains a same-init lr sweep: per-member lr in the rows,
+    lr-tagged non-colliding checkpoints, best_lr reported."""
+    from pathlib import Path
+
+    from stofnet_tpu.cli.array import run
+
+    cfg = _cfg(tmp_path, data_dir=str(chirp_root), lrs=[1e-4, 5e-4],
+               epochs=1, batch_size=4, model="stofnet", rf_scale_factor=4,
+               max_echoes=8, crop_ratio=0.75)
+    out = run(cfg)
+    assert out["mode"] == "train_array"
+    assert [m["lr"] for m in out["members"]] == [1e-4, 5e-4]
+    # same-init sweep: every member carries the same base seed
+    assert {m["seed"] for m in out["members"]} == {3008}
+    paths = [m["checkpoint"] for m in out["members"]]
+    assert len(set(paths)) == 2 and all(Path(p).exists() for p in paths)
+    assert "lr0.0001" in paths[0] and "lr0.0005" in paths[1]
+    assert out["best_lr"] in (1e-4, 5e-4)
+    assert all(np.isfinite(m["val_loss"]) for m in out["members"])
+
+
+def test_cli_lrs_seeds_mismatch_raises(chirp_root, tmp_path):
+    from stofnet_tpu.cli.array import run
+
+    cfg = _cfg(tmp_path, data_dir=str(chirp_root), lrs=[1e-4, 5e-4],
+               seeds=3, epochs=1, batch_size=4, model="stofnet",
+               rf_scale_factor=4, max_echoes=8)
+    with pytest.raises(ValueError, match="seeds=3 but 2 lrs"):
+        run(cfg)
