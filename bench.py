@@ -968,24 +968,56 @@ def train_bench() -> None:
 
 
 def scaling() -> None:
-    """Throughput vs batch size for the bf16 XLA pipeline."""
+    """Throughput vs batch size: bf16 XLA pipeline AND the int8-SGB
+    serving path (the headline's served path since r3).
+
+    int8 calibration happens ONCE on the B=128 echo gate batch —
+    activation scales are per-waveform/dynamic (models/int8.py), so the
+    quantized program is batch-size independent, and the headline run
+    already coordinate-gates this path at B=128; the curve here measures
+    throughput only.
+    """
+    import jax
     import jax.numpy as jnp
 
     variables, overrides = setup()
     pipe = make_xla_pipeline(overrides, jnp.bfloat16)
+
+    pipe_int8 = None
+    try:
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        rng = np.random.default_rng(7)
+        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
+        q = quantize_stofnet(variables, gate, **overrides)
+        decode = make_decoder(overrides)
+
+        @jax.jit
+        def pipe_int8(v, xb):  # noqa: F811
+            return decode(stofnet_apply_int8(q, xb, dtype=jnp.bfloat16,
+                                             **overrides))
+    except FetchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 path unavailable for scaling ({type(e).__name__})")
+
     curve = {}
     for batch in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
         k = max(8, min(50, 4096 // batch))
-        try:
-            wf_s, dt = sustained_wf_s(pipe, variables, batch, k)
-            curve[f"b{batch}"] = round(wf_s, 1)
-            log(f"B={batch} k={k}: {dt * 1e3:.2f} ms/batch "
-                f"-> {wf_s:.1f} wf/s")
-        except FetchTimeout:
-            raise  # poisoned claim: escalate instead of burning 720 s/point
-        except Exception as e:
-            curve[f"b{batch}"] = f"{type(e).__name__}"
-            log(f"B={batch}: {type(e).__name__}")
+        for tag, p in (("", pipe), ("int8_", pipe_int8)):
+            if p is None:
+                continue
+            try:
+                wf_s, dt = sustained_wf_s(p, variables, batch, k)
+                curve[f"{tag}b{batch}"] = round(wf_s, 1)
+                log(f"{tag or 'xla_'}B={batch} k={k}: "
+                    f"{dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s")
+            except FetchTimeout:
+                raise  # poisoned claim: escalate, don't burn 720 s/point
+            except Exception as e:
+                curve[f"{tag}b{batch}"] = f"{type(e).__name__}"
+                log(f"{tag or 'xla_'}B={batch}: {type(e).__name__}")
     emit({"metric": "stofnet_throughput_scaling", "value": 1.0,
           "unit": "waveforms/s/chip per batch size",
           "vs_baseline": 1.0, **curve}, "scaling")
