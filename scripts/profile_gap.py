@@ -15,6 +15,9 @@ Variants:
   nms         nms1d alone
   topk        lax.top_k(k=8) alone on (B, 32000)
   argmax8     iterative 8x (max+mask) exact top-k candidate
+  model_int8  int8-SGB forward only (models/int8.py, the served path's
+              model half; calibrated on the bench echo gate batch)
+  full_int8   int8-SGB forward + decode (the r3 headline serving path)
 
 Run on the real chip: ``python scripts/profile_gap.py``. One JSON line on
 stdout; details on stderr.
@@ -133,6 +136,24 @@ def main():
          lambda h: jax.lax.top_k(h.squeeze(1), 8)[0]),
         ("argmax8", heat_batch, argmax8),
     ]
+    try:
+        from bench import make_gate_batch
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH,
+                                           np.random.default_rng(7)))
+        q = quantize_stofnet(variables, gate, **overrides)
+        variants += [
+            ("model_int8", rf_batch,
+             lambda x: stofnet_apply_int8(q, x, dtype=jnp.bfloat16,
+                                          **overrides)),
+            ("full_int8", rf_batch,
+             lambda x: decode(stofnet_apply_int8(q, x, dtype=jnp.bfloat16,
+                                                 **overrides))),
+        ]
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 variants unavailable: {type(e).__name__}: {str(e)[:80]}")
     for name, mk, body in variants:
         try:
             ms = timed_stream(mk, body)
