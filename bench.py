@@ -849,27 +849,56 @@ def length_scaling() -> None:
     80x pooled pathway gives O(L/80) global context at any L, so sample
     rate should hold roughly flat until HBM pressure bites; multi-chip
     length sharding (parallel/, sp axis) extends past that."""
+    import jax
     import jax.numpy as jnp
 
     variables, overrides = setup()
     pipe = make_xla_pipeline(overrides, jnp.bfloat16)
+
+    # int8-SGB path, calibrated once at the headline L (weight scales are
+    # per-cout and the activation scales are per-waveform/dynamic, so the
+    # quantized program is shape-independent — same reasoning as scaling())
+    pipe_int8 = None
+    try:
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        rng = np.random.default_rng(7)
+        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
+        q = quantize_stofnet(variables, gate, **overrides)
+        decode = make_decoder(overrides)
+
+        @jax.jit
+        def pipe_int8(v, xb):  # noqa: F811
+            return decode(stofnet_apply_int8(q, xb, dtype=jnp.bfloat16,
+                                             **overrides))
+    except FetchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 path unavailable for lscaling ({type(e).__name__})")
+
     curve = {}
     total = 128 * 8000  # the headline operating point's samples/batch
     for length in (8000, 16000, 40000, 80000, 160000):
         batch = max(1, total // length)
         k = 16
-        try:
-            wf_s, dt = sustained_wf_s(pipe, variables, batch, k,
-                                      length=length)
-            sps = wf_s * length
-            curve[f"L{length}"] = round(sps / 1e6, 1)
-            log(f"L={length} B={batch} k={k}: {dt * 1e3:.2f} ms/batch -> "
-                f"{wf_s:.1f} wf/s = {sps / 1e6:.1f} Msamples/s")
-        except FetchTimeout:
-            raise  # poisoned claim: escalate instead of burning 720 s/point
-        except Exception as e:
-            curve[f"L{length}"] = f"{type(e).__name__}"
-            log(f"L={length}: {type(e).__name__}: {str(e)[:100]}")
+        for tag, p in (("", pipe), ("int8_", pipe_int8)):
+            if p is None:
+                continue
+            try:
+                wf_s, dt = sustained_wf_s(p, variables, batch, k,
+                                          length=length)
+                sps = wf_s * length
+                curve[f"{tag}L{length}"] = round(sps / 1e6, 1)
+                log(f"{tag or 'xla_'}L={length} B={batch} k={k}: "
+                    f"{dt * 1e3:.2f} ms/batch -> {wf_s:.1f} wf/s = "
+                    f"{sps / 1e6:.1f} Msamples/s")
+            except FetchTimeout:
+                raise  # poisoned claim: escalate, don't burn 720 s/point
+            except Exception as e:
+                curve[f"{tag}L{length}"] = f"{type(e).__name__}"
+                log(f"{tag or 'xla_'}L={length}: {type(e).__name__}: "
+                    f"{str(e)[:100]}")
     emit({"metric": "stofnet_length_scaling", "value": 1.0,
           "unit": "Msamples/s/chip per waveform length",
           "vs_baseline": 1.0, **curve}, "lscaling")
