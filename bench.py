@@ -56,7 +56,7 @@ can bridge), the last hardware-validated record for the mode is served from
 trace. Deterministic regressions (ShapeRegression) are never masked.
 
 Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train |
-                        --serve]
+                        --serve | --soak]
   --oom-demo: instead of the throughput bench, run the B=2048 L=8k memory
   experiment (XLA path OOMs on the (B, L, 512) SGB pre-pool tensor; the
   Pallas-fused SGB keeps it in VMEM tiles; the int8-SGB path shrinks it
@@ -64,6 +64,9 @@ Usage: python bench.py [--oom-demo | --scaling | --lscaling | --train |
   --scaling: batch-size scaling curve (B=1..1024) of the XLA pipeline.
   --serve: dynamic-batching serving host under closed-loop single-waveform
   clients (1/8/128) — sustained wf/s, client p50/p99 latency, occupancy.
+  --soak: 10-minute sustained serving soak (32 closed-loop clients) with
+  per-minute throughput windows — drift, transient client errors survived,
+  clean drain. The stability artifact the short load curve can't show.
 """
 
 from __future__ import annotations
@@ -1160,6 +1163,117 @@ def serve_bench() -> None:
     }, "serve")
 
 
+def serve_soak() -> None:
+    """10-minute sustained serving soak: 32 closed-loop single-waveform
+    clients against the dynamic-batching host, per-minute throughput
+    windows. What the 10 s load points (--serve) can't show: throughput
+    drift under sustained relay/chip load, transient client errors (a
+    relay hiccup mid-soak should cost one request a retry, not the run),
+    and a clean drain after ~10 minutes of continuous dispatch. Clients
+    retry on error (counted, budgeted); a zero-progress window raises
+    FetchTimeout (relay gone, not drift).
+
+    ``STOFNET_SOAK_MINUTES`` / ``STOFNET_SOAK_CLIENTS`` override the
+    duration/load for CPU contract runs.
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    from stofnet_tpu.serving import ServingHost
+
+    minutes = int(os.environ.get("STOFNET_SOAK_MINUTES", "10"))
+    clients_n = int(os.environ.get("STOFNET_SOAK_CLIENTS", "32"))
+    err_budget = 50
+
+    variables, overrides = setup()
+    rng = np.random.default_rng(3008)
+    x = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
+
+    # same dtype gate as --serve: soak whatever would actually ship
+    pipe_f32 = make_xla_pipeline(overrides, None)
+    pipe_bf16 = make_xla_pipeline(overrides, jnp.bfloat16)
+    c32 = fetch(lambda: np.asarray(pipe_f32(variables, x)), "f32 parity gate")
+    c16 = fetch(lambda: np.asarray(pipe_bf16(variables, x)),
+                "bf16 parity gate")
+    agree = np.mean(np.abs(c32 - c16) <= 1.0)
+    pipe = pipe_bf16 if agree >= 0.99 else pipe_f32
+    log(f"bf16/f32 coord agreement: {agree:.4f} -> soaking "
+        f"{'bf16' if agree >= 0.99 else 'f32'}")
+
+    def pipeline(xb):
+        return pipe(variables, jnp.asarray(xb))
+
+    host = ServingHost(pipeline, LENGTH, max_batch=BATCH, max_wait_ms=2.0)
+    for b in host.stats()["bucket_counts"]:
+        fetch(lambda b=b: host.warmup([b]), f"warmup bucket {b}")
+
+    waves = [np.asarray(x[i % BATCH, 0]) for i in range(clients_n)]
+    stop = threading.Event()
+    errors: list = []
+
+    def client(i: int) -> None:
+        w = waves[i]
+        while not stop.is_set():
+            try:
+                host.infer(w, timeout=FETCH_TIMEOUT_S)
+            except Exception as e:  # noqa: BLE001 - budgeted + reported
+                errors.append(f"{type(e).__name__}: {str(e)[:60]}")
+                if len(errors) > err_budget:
+                    stop.set()
+                    return
+                time.sleep(1.0)  # back off, then rejoin the load
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(clients_n)]
+    for t in threads:
+        t.start()
+
+    windows = []
+    prev = host.stats()["waveforms"]
+    for m in range(minutes):
+        t0 = time.perf_counter()
+        while time.perf_counter() < t0 + 60.0 and not stop.is_set():
+            time.sleep(0.5)
+        dt = time.perf_counter() - t0
+        cur = host.stats()["waveforms"]
+        if cur == prev:
+            stop.set()
+            raise FetchTimeout(f"soak window {m + 1} made no progress "
+                               f"({len(errors)} client errors)")
+        windows.append(round((cur - prev) / dt, 1))
+        log(f"soak window {m + 1}/{minutes}: {windows[-1]:.1f} wf/s "
+            f"({len(errors)} errors so far)")
+        prev = cur
+        if stop.is_set():
+            break
+
+    stop.set()
+    for t in threads:
+        t.join(30.0)
+    if len(errors) > err_budget:
+        raise RuntimeError(f"soak exceeded the error budget: "
+                           f"{errors[-3:]} (x{len(errors)})")
+    s = host.stats()
+    host.close()  # drain must complete without raising
+    done = s["waveforms"]
+    padded = max(1, s["padded"])
+    emit({
+        "metric": "stofnet_serving_soak",
+        "value": round(float(np.mean(windows)), 1),
+        "unit": f"waveforms/s/chip sustained over {len(windows)} min "
+                f"({clients_n} closed-loop clients, L={LENGTH})",
+        "vs_baseline": round(float(np.mean(windows)) / BASELINE_WF_S, 2),
+        "soak_windows_wf_s": windows,
+        "soak_drift": round(windows[-1] / windows[0], 3) if windows else None,
+        "soak_client_errors": len(errors),
+        "soak_p50_ms": round(s.get("latency_p50_ms", 0.0), 2),
+        "soak_p99_ms": round(s.get("latency_p99_ms", 0.0), 2),
+        "soak_occupancy": round(done / padded, 3),
+        "soak_drained_clean": True,
+    }, "soak")
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -1326,5 +1440,7 @@ if __name__ == "__main__":
         respawn_on_failure(length_scaling, "lscaling")
     elif "--serve" in sys.argv:
         respawn_on_failure(serve_bench, "serve")
+    elif "--soak" in sys.argv:
+        respawn_on_failure(serve_soak, "soak")
     else:
         respawn_on_failure(main, "headline")
