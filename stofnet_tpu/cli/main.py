@@ -292,8 +292,11 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
     )
     from stofnet_tpu.train.steps import make_eval_step
     from stofnet_tpu.train.threshold import find_threshold
+    from stofnet_tpu.utils.profiling import StepTraceProfiler
 
     cfg = ctx["cfg"]
+    profiler = StepTraceProfiler(cfg.get("profile_dir"),
+                                 cfg.get("profile_steps") or 5)
     ds, info = ctx["dataset"], ctx["info"]
     kind = info["kind"]
     eval_step = make_eval_step(ctx["model"], _loss_config(cfg, ctx["model_kind"]))
@@ -395,6 +398,7 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         out = eval_step.finish(pred, gt_d, gt_true_d)
         metrics = np.asarray(out["toa_metrics"])  # forces completion
         toc = time.perf_counter() - tic
+        profiler.step()  # no-op unless profile_dir= is set
 
         loss = float(out["loss"])
         val_step += 1
@@ -443,6 +447,7 @@ def evaluate(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
                     "val_toa_recall": _nanmean(metrics[:, 2]),
                     "val_toa_jaccard": _nanmean(metrics[:, 3])})
 
+    profiler.close()  # flush an unfinished trace window (short splits)
     if val_step == 0:
         raise ValueError(
             f"evaluation produced no batches: the eval split has "
@@ -479,8 +484,11 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
         TrainState, init_train_state, make_eval_step, make_optimizer,
         make_train_step, state_variables,
     )
+    from stofnet_tpu.utils.profiling import StepTraceProfiler
 
     cfg = ctx["cfg"]
+    profiler = StepTraceProfiler(cfg.get("profile_dir"),
+                                 cfg.get("profile_steps") or 5)
     ds, info = ctx["dataset"], ctx["info"]
     kind = info["kind"]
     up = int(cfg.upsample_factor)
@@ -585,6 +593,7 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             frame_d, gt_d, gt_true_d = dev
             state, aux = train_step(state, frame_d, gt_d, gt_true_d)
             loss = float(aux["loss"])
+            profiler.step()  # no-op unless profile_dir= is set
             if not np.isfinite(loss):
                 # failure detection (beyond the reference, which would
                 # silently train on NaN until the end-of-run summary):
@@ -637,6 +646,7 @@ def train(ctx: Dict[str, Any], logger: MetricsLogger) -> Dict[str, float]:
             print(f"Finished at epoch: {epoch}", file=sys.stderr)
             break
 
+    profiler.close()  # flush an unfinished trace window (short runs)
     name = (f"{logger.run_name}_rf-scale{cfg.rf_scale_factor}"
             f"_epoch_{epochs_run}")
     path = save_ckpt(name, epochs_run)

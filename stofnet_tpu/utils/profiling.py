@@ -76,3 +76,45 @@ def benchmark_fn(fn: Callable, *args, iters: int = 10,
     t = np.asarray(times)
     return {"mean_ms": float(t.mean()), "p50_ms": float(np.median(t)),
             "min_ms": float(t.min()), "max_ms": float(t.max())}
+
+
+class StepTraceProfiler:
+    """Trace a window of driver steps into a TensorBoard/Perfetto profile.
+
+    The reference has no profiler at all (SURVEY §5: wall-clock only);
+    this wires ``jax.profiler`` into the CLI loops behind two config keys:
+    ``profile_dir=DIR`` enables it, ``profile_steps=N`` (default 5) sizes
+    the window. The window starts at the SECOND step so the first-step
+    jit compile doesn't drown the steady-state timeline, and stops after
+    N steps (one window per run; ``close()`` is the safety net when the
+    loop ends inside the window).
+    """
+
+    def __init__(self, profile_dir: Optional[str], steps: int = 5):
+        self.dir = str(profile_dir) if profile_dir else None
+        self.n = max(1, int(steps))
+        self._seen = 0
+        self._active = False
+
+    def step(self) -> None:
+        """Call once per driver step (after the step's device work)."""
+        if self.dir is None:
+            return
+        import jax
+
+        self._seen += 1
+        if not self._active and self._seen == 2:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif self._active and self._seen >= 2 + self.n:
+            jax.profiler.stop_trace()
+            self._active = False
+            self.dir = None  # one window per run
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            self.dir = None

@@ -386,3 +386,22 @@ def test_train_int8_rejected(chirp_root, tmp_path):
                    rf_scale_factor=4, max_echoes=8, int8=True)
     with pytest.raises(ValueError, match="SERVING"):
         run(cfg)
+
+
+def test_profile_dir_writes_trace(chirp_root, tmp_path):
+    """profile_dir= captures a jax.profiler trace window through the real
+    driver (train mode; the reference has no profiler at all, SURVEY §5).
+    The window starts at step 2 so it excludes the jit compile."""
+    import os
+
+    trace_dir = tmp_path / "trace"
+    cfg = base_cfg(tmp_path, data_dir=str(chirp_root), evaluate=False,
+                   model="stofnet", epochs=1, batch_size=4,
+                   rf_scale_factor=4, max_echoes=8, crop_ratio=0.75,
+                   profile_dir=str(trace_dir), profile_steps=1)
+    run(cfg)
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert files, "profile_dir produced no trace files"
+    assert any("trace" in f or f.endswith((".pb", ".json.gz"))
+               for f in files), files
