@@ -121,6 +121,7 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     from stofnet_tpu.train.checkpoint import save_checkpoint
     from stofnet_tpu.train.early_stop import EarlyStopping
     from stofnet_tpu.train.steps import make_optimizer, state_variables
+    from stofnet_tpu.utils.profiling import StepTraceProfiler
 
     lrs = [float(x) for x in cfg.get("lrs") or []]
     if lrs:
@@ -173,6 +174,8 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
 
     early = EarlyStopping(patience=int(cfg.patience), delta=float(cfg.delta))
     put = lambda b: tuple(jnp.asarray(x) for x in b)  # noqa: E731
+    profiler = StepTraceProfiler(cfg.get("profile_dir"),
+                                 cfg.get("profile_steps") or 5)
 
     # unique per-member tags (seed alone collides under a same-init lr sweep)
     member_tags = [f"seed{s}" + (f"_lr{lrs[i]:g}" if lrs else "")
@@ -188,6 +191,7 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
             frame_d, gt_d, gt_true_d = dev
             state, aux = astep(state, frame_d, gt_d, gt_true_d)
             losses = np.asarray(aux["loss"])
+            profiler.step()  # no-op unless profile_dir= is set
             if not np.all(np.isfinite(losses)):
                 bad = [member_tags[i]
                        for i in np.nonzero(~np.isfinite(losses))[0]]
@@ -219,6 +223,7 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
                   file=sys.stderr)
             break
 
+    profiler.close()  # flush an unfinished trace window (short runs)
     # per-member checkpoints: each member IS a normal single-model state
     ckpt_dir = Path(cfg.ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
