@@ -457,3 +457,27 @@ def test_bench_shape_regression_not_retried(monkeypatch):
     with pytest.raises(bench.ShapeRegression):
         bench.respawn_on_failure(bad, "headline")
     assert not execs  # escalated immediately, no re-exec
+
+
+def test_console_scripts_resolve():
+    """Every [project.scripts] entry point imports to a callable (a typo
+    here would only surface at install time otherwise)."""
+    import importlib
+
+    targets = {
+        "stofnet-tpu": "stofnet_tpu.cli.main:main",
+        "stofnet-tpu-sweep": "stofnet_tpu.cli.sweep:main",
+        "stofnet-tpu-array": "stofnet_tpu.cli.array:main",
+        "stofnet-tpu-export": "stofnet_tpu.cli.export:main",
+        "stofnet-tpu-serve": "stofnet_tpu.cli.serve:main",
+        "stofnet-tpu-report": "stofnet_tpu.cli.report:main",
+    }
+    import tomllib
+    from pathlib import Path
+
+    pyproject = tomllib.loads(
+        (Path(__file__).parent.parent / "pyproject.toml").read_text())
+    assert pyproject["project"]["scripts"] == targets
+    for spec in targets.values():
+        mod, _, fn = spec.partition(":")
+        assert callable(getattr(importlib.import_module(mod), fn))
