@@ -16,7 +16,9 @@ architecture-override keys as the exporter, plus int8_calib=)::
 
 Tuning: ``max_batch=`` (largest coalesced device batch), ``max_wait_ms=``
 (latency the oldest request may spend waiting for the batch to fill),
-``warmup=False`` to skip pre-compiling every bucket at startup.
+``warmup=False`` to skip pre-compiling every bucket at startup;
+``compile_cache=DIR`` persists bucket compiles so daemon restarts skip
+them.
 ``mesh=True [mesh_dp=N]`` shards every served batch over a dp device mesh
 (multi-chip serving from one daemon; buckets restricted to dp-divisible
 sizes so GSPMD splits them evenly).
@@ -40,7 +42,7 @@ _KNOWN_KEYS = frozenset({
     "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
     "max_echoes", "int8_calib", "int8_stack", "int8_eq_alpha",
     "int8_bias_correct", "host", "port", "max_batch", "max_wait_ms",
-    "warmup", "mesh", "mesh_dp",
+    "warmup", "mesh", "mesh_dp", "compile_cache",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
 })
 
@@ -72,6 +74,19 @@ def build(args: Dict[str, Any]):
     if unknown:
         raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
                          f"supported: {sorted(_KNOWN_KEYS)}")
+
+    if args.get("compile_cache"):
+        # persistent XLA compilation cache: a daemon restart re-compiles
+        # every warmup bucket over the relay (~20-60 s each) otherwise —
+        # the dominant share of the measured cold start
+        # (docs/SERVE_DAEMON_tpu.md). Process-lifetime scope: the daemon
+        # owns its process, so no restore is needed (cf. cli/main.py's
+        # run-scoped variant).
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          str(args["compile_cache"]))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from stofnet_tpu.serving import ServingHost, start_server
 

@@ -217,3 +217,30 @@ def test_load_stack_cfg_parsing():
     assert load_stack_cfg({})["int8_stack_layers"] is None
     with pytest.raises(SystemExit, match="int8_calib"):
         load_stack_cfg({"int8_stack": "4"})
+
+
+def test_serve_compile_cache_persists_bucket_compiles(small_ckpt, tmp_path):
+    """compile_cache=DIR on the daemon CLI writes persistent XLA cache
+    entries during bucket warmup (daemon restarts then skip the
+    per-bucket relay compiles — docs/SERVE_DAEMON_tpu.md's cold start)."""
+    import os
+
+    from stofnet_tpu.cli.serve import build
+    from stofnet_tpu.serve import export_pipeline, save_pipeline
+
+    variables, overrides = small_ckpt
+    blob = export_pipeline(variables, overrides, batch="b", length=800,
+                           max_echoes=8)
+    art = save_pipeline(tmp_path / "cc.jaxexp", blob)
+    cache_dir = tmp_path / "xla_cache"
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        host, server, _ = build({"artifact": str(art), "max_batch": 4,
+                                 "compile_cache": str(cache_dir)})
+        server.shutdown()
+        server.server_close()
+        host.close()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+    entries = [f for _, _, fs in os.walk(cache_dir) for f in fs]
+    assert entries, "warmup wrote no persistent-cache entries"
