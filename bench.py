@@ -846,6 +846,57 @@ def oom_train_demo(variables, overrides, failure_summary):
     return results
 
 
+def make_int8_curve_pipeline(variables, overrides, who: str):
+    """int8-SGB pipeline for the scaling curves, or None if unavailable.
+
+    Calibrates ONCE on the B=128 echo gate batch (weight scales are
+    per-cout, activation scales per-waveform/dynamic — models/int8.py —
+    so the quantized program is shape-independent) and keeps the
+    headline's lowering fallback: the integer-conv path first, the
+    shifted-s8-matmul ("dots") path if the backend rejects it (probed
+    with one tiny fetch per impl). Quality gating stays the headline
+    run's job; the curves measure throughput of the path it serves.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from stofnet_tpu.models.int8 import (quantize_stofnet,
+                                             stofnet_apply_int8)
+
+        rng = np.random.default_rng(7)
+        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
+        q = quantize_stofnet(variables, gate, **overrides)
+        decode = make_decoder(overrides)
+    except FetchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 calibration unavailable for {who} ({type(e).__name__})")
+        return None
+
+    for impl in ("conv", "dots"):
+        def make_pipe(_impl):
+            @jax.jit
+            def pipe(v, xb):
+                return decode(stofnet_apply_int8(
+                    q, xb, dtype=jnp.bfloat16, impl=_impl, **overrides))
+
+            return pipe
+
+        pipe = make_pipe(impl)
+        try:
+            fetch(lambda: np.asarray(pipe(variables, gate[:8])),
+                  f"int8 {impl} probe ({who})")
+            log(f"int8 path for {who}: impl={impl}")
+            return pipe
+        except FetchTimeout:
+            raise
+        except Exception as e:  # noqa: BLE001
+            log(f"int8 impl={impl} rejected for {who} "
+                f"({type(e).__name__}: {str(e)[:80]})")
+    return None
+
+
 def length_scaling() -> None:
     """Throughput vs waveform length L at fixed total samples per batch
     (B*L const): the single-chip long-sequence story. The SemiGlobalBlock's
@@ -861,24 +912,7 @@ def length_scaling() -> None:
     # int8-SGB path, calibrated once at the headline L (weight scales are
     # per-cout and the activation scales are per-waveform/dynamic, so the
     # quantized program is shape-independent — same reasoning as scaling())
-    pipe_int8 = None
-    try:
-        from stofnet_tpu.models.int8 import (quantize_stofnet,
-                                             stofnet_apply_int8)
-
-        rng = np.random.default_rng(7)
-        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
-        q = quantize_stofnet(variables, gate, **overrides)
-        decode = make_decoder(overrides)
-
-        @jax.jit
-        def pipe_int8(v, xb):  # noqa: F811
-            return decode(stofnet_apply_int8(q, xb, dtype=jnp.bfloat16,
-                                             **overrides))
-    except FetchTimeout:
-        raise
-    except Exception as e:  # noqa: BLE001
-        log(f"int8 path unavailable for lscaling ({type(e).__name__})")
+    pipe_int8 = make_int8_curve_pipeline(variables, overrides, "lscaling")
 
     curve = {}
     total = 128 * 8000  # the headline operating point's samples/batch
@@ -1015,24 +1049,7 @@ def scaling() -> None:
     variables, overrides = setup()
     pipe = make_xla_pipeline(overrides, jnp.bfloat16)
 
-    pipe_int8 = None
-    try:
-        from stofnet_tpu.models.int8 import (quantize_stofnet,
-                                             stofnet_apply_int8)
-
-        rng = np.random.default_rng(7)
-        gate = jnp.asarray(make_gate_batch(BATCH, LENGTH, rng))
-        q = quantize_stofnet(variables, gate, **overrides)
-        decode = make_decoder(overrides)
-
-        @jax.jit
-        def pipe_int8(v, xb):  # noqa: F811
-            return decode(stofnet_apply_int8(q, xb, dtype=jnp.bfloat16,
-                                             **overrides))
-    except FetchTimeout:
-        raise
-    except Exception as e:  # noqa: BLE001
-        log(f"int8 path unavailable for scaling ({type(e).__name__})")
+    pipe_int8 = make_int8_curve_pipeline(variables, overrides, "scaling")
 
     curve = {}
     for batch in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
@@ -1237,6 +1254,13 @@ def serve_soak() -> None:
             time.sleep(0.5)
         dt = time.perf_counter() - t0
         cur = host.stats()["waveforms"]
+        # budget check FIRST: a deterministic serving bug blows the error
+        # budget within one window and must keep rc=1 (RuntimeError is not
+        # _relay_shaped) — only an error-free stall is relay-shaped
+        if len(errors) > err_budget:
+            stop.set()
+            raise RuntimeError(f"soak exceeded the error budget: "
+                               f"{errors[-3:]} (x{len(errors)})")
         if cur == prev:
             stop.set()
             raise FetchTimeout(f"soak window {m + 1} made no progress "
@@ -1256,8 +1280,6 @@ def serve_soak() -> None:
                            f"{errors[-3:]} (x{len(errors)})")
     s = host.stats()
     host.close()  # drain must complete without raising
-    done = s["waveforms"]
-    padded = max(1, s["padded"])
     emit({
         "metric": "stofnet_serving_soak",
         "value": round(float(np.mean(windows)), 1),
@@ -1269,7 +1291,7 @@ def serve_soak() -> None:
         "soak_client_errors": len(errors),
         "soak_p50_ms": round(s.get("latency_p50_ms", 0.0), 2),
         "soak_p99_ms": round(s.get("latency_p99_ms", 0.0), 2),
-        "soak_occupancy": round(done / padded, 3),
+        "soak_occupancy": round(s.get("occupancy", 0.0), 3),
         "soak_drained_clean": True,
     }, "soak")
 

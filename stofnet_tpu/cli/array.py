@@ -127,6 +127,12 @@ def train_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     if lrs:
         if any(lr <= 0 for lr in lrs):
             raise ValueError(f"lrs must be positive, got {lrs}")
+        if not cfg.get("seeds") and len(set(lrs)) != len(lrs):
+            # same-init sweep: duplicate lrs would train bit-identical
+            # members AND collide on the lr-tagged checkpoint names
+            raise ValueError(f"duplicate lrs in {lrs}: same-init members "
+                             f"would be bit-identical copies (add seeds=N "
+                             f"to vary the init instead)")
         n = len(lrs)
         if cfg.get("seeds") and int(cfg.seeds) != n:
             raise ValueError(f"seeds={cfg.seeds} but {n} lrs given; with "
@@ -271,7 +277,10 @@ def eval_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
     )
     from stofnet_tpu.train.checkpoint import find_checkpoint, \
         load_model_variables
+    from stofnet_tpu.utils.profiling import StepTraceProfiler
 
+    profiler = StepTraceProfiler(cfg.get("profile_dir"),
+                                 cfg.get("profile_steps") or 5)
     cfg.evaluate = True
     ctx = setup(cfg)
     ds, kind = ctx["dataset"], ctx["info"]["kind"]
@@ -336,9 +345,11 @@ def eval_array(cfg: Config, logger: MetricsLogger) -> Dict[str, Any]:
         out = run(jnp.asarray(frame), jnp.asarray(gt),
                   jnp.asarray(gt_true))
         all_metrics.append(np.asarray(out["toa_metrics"]))  # (N, B, 7)
+        profiler.step()  # no-op unless profile_dir= is set
         if "loss" in out:
             losses.append(np.asarray(out["loss"]))
 
+    profiler.close()  # flush an unfinished trace window (short splits)
     vm = np.concatenate(all_metrics, axis=1)  # (N, total, 7)
     rows = []
     for i, label in enumerate(labels):

@@ -97,16 +97,18 @@ class StepTraceProfiler:
         self._active = False
 
     def step(self) -> None:
-        """Call once per driver step (after the step's device work)."""
+        """Call once per driver step (after the step's device work): the
+        trace starts after step 1 (the compile step) completes, so the
+        window covers steps 2..n+1 exactly as documented."""
         if self.dir is None:
             return
         import jax
 
         self._seen += 1
-        if not self._active and self._seen == 2:
+        if not self._active and self._seen == 1:
             jax.profiler.start_trace(self.dir)
             self._active = True
-        elif self._active and self._seen >= 2 + self.n:
+        elif self._active and self._seen >= 1 + self.n:
             jax.profiler.stop_trace()
             self._active = False
             self.dir = None  # one window per run

@@ -516,3 +516,31 @@ def test_lr_scales_compose_with_member_sharding(setup):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
         s_shard.params, s_plain.params)
+
+
+def test_cli_duplicate_lrs_rejected(chirp_root, tmp_path):
+    """Same-init duplicate lrs = bit-identical members + colliding
+    lr-tagged checkpoint names; rejected loudly."""
+    from stofnet_tpu.cli.array import run
+
+    cfg = _cfg(tmp_path, data_dir=str(chirp_root), lrs=[1e-4, 1e-4],
+               epochs=1, batch_size=4, model="stofnet", rf_scale_factor=4,
+               max_echoes=8)
+    with pytest.raises(ValueError, match="duplicate lrs"):
+        run(cfg)
+
+
+def test_cli_eval_array_profile_dir(chirp_root, tmp_path):
+    """profile_dir= captures a trace in the array CLI's eval mode too."""
+    import os
+
+    from stofnet_tpu.cli.array import run
+
+    trace_dir = tmp_path / "trace"
+    cfg = _cfg(tmp_path, data_dir=str(chirp_root), evaluate=True,
+               model="stofnet", th_sweep=[0.01, 0.1], batch_size=2,
+               rf_scale_factor=4, max_echoes=8, etol=1600,
+               profile_dir=str(trace_dir), profile_steps=1)
+    run(cfg)
+    files = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert files, "eval_array wrote no trace files"
