@@ -46,8 +46,11 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     sample_num = 160 if SMOKE else 800
+    # distinct smoke/real roots: a CPU smoke must never regenerate the
+    # dataset out from under a concurrent hardware run
+    base = "/tmp/array_tpu_chirp_smoke" if SMOKE else "/tmp/array_tpu_chirp"
     root = generate_chirp_dataset(
-        "/tmp/array_tpu_chirp/stof_chirp101_dataset", sample_num=sample_num,
+        f"{base}/stof_chirp101_dataset", sample_num=sample_num,
         n_positions=3, n_train_per_pos=6, n_test_per_pos=4)
 
     def cfg(**over):

@@ -33,7 +33,10 @@ sys.path.insert(0, "/root/repo")
 
 SMOKE = "--smoke" in sys.argv
 PORT = 17733 if not SMOKE else 17734
-ART = "/tmp/stofnet_daemon.jaxexp"
+# distinct smoke/real artifacts: a CPU smoke must never overwrite the
+# artifact a concurrent hardware daemon is loading
+ART = ("/tmp/stofnet_daemon_smoke.jaxexp" if SMOKE
+       else "/tmp/stofnet_daemon.jaxexp")
 L = 8000
 
 
