@@ -9,6 +9,14 @@ main.py:291-347); see ``stofnet_tpu/serve.py`` for the design. Usage::
         [int8_calib=x.npy [int8_stack=4,8,10] [int8_eq_alpha=0.5]
          [int8_bias_correct=True]]
 
+The WHOLE model zoo exports, mirroring the reference's one-switch
+benchmark (main.py:133-167): ``model=edsr|espcn|sincnet|unet|kuleshov``
+(heatmap decode like stofnet), ``model=zonzini`` (direct per-frame ToA,
+one coord slot), ``model=gradpeak`` (classical detector, no model_file).
+Family-specific build knobs: ``dataset_kind=chirp|pala|rat``
+``rf_scale_factor=`` ``sample_num=`` (kuleshov) ``fs=`` (sincnet)
+``n_layers=`` (unet .pth import). int8 keys are stofnet-only.
+
 ``batch=b`` (any symbolic name) exports one BATCH-POLYMORPHIC artifact
 that serves every batch size; length stays static (the decode top_k and
 SGB pooling are length-specialized — export one artifact per length).
@@ -41,6 +49,11 @@ def parse_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 _KNOWN_KEYS = frozenset({
     "model_file", "out", "ckpt_dir", "platforms", "th", "batch", "length",
     "window_size", "max_echoes", "int8_calib",
+    # zoo serving (model= picks any registry model; the rest are the
+    # registry.build_model kwargs the chosen family needs — sample_num
+    # for kuleshov, fs for sincnet, n_layers for unet .pth import)
+    "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
+    "n_layers",
     # partial-stack int8 serving config (with int8_calib; see
     # serve.make_pipeline): int8_stack=4,8,10 int8_eq_alpha=0.5
     # int8_bias_correct=True
@@ -86,6 +99,48 @@ def resolve_variables_and_overrides(args: Dict[str, Any]):
     return variables, overrides
 
 
+def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
+    """variables + ``registry.build_model`` kwargs for a non-StofNet model.
+
+    The reference benchmarks its whole zoo behind one ``model=`` switch
+    (main.py:133-167); the export/serving story mirrors that. gradpeak is
+    parameter-free (no ``model_file``); kuleshov needs ``sample_num=``;
+    sincnet needs ``fs=`` (its sinc filterbank is parameterized by the
+    sample rate, reference models/sincnet.py:147-188)."""
+    kind = str(args.get("dataset_kind", "chirp"))
+    overrides: Dict[str, Any] = {
+        "dataset_kind": kind,
+        "upsample_factor": int(args.get("upsample_factor") or 4),
+        "rf_scale_factor": int(args.get("rf_scale_factor") or 10),
+    }
+    if model == "kuleshov":
+        if args.get("sample_num") is None:
+            raise SystemExit("model=kuleshov needs sample_num= (its FC "
+                             "head is sized analytically from "
+                             "sample_num*rf_scale_factor)")
+        overrides["sample_num"] = int(args["sample_num"])
+    if model == "sincnet":
+        if args.get("fs") is None:
+            raise SystemExit("model=sincnet needs fs= (the sinc filterbank "
+                             "is parameterized by the sample rate)")
+        overrides["fs"] = float(args["fs"])
+    if model == "gradpeak":
+        return {"params": {}}, overrides
+
+    from stofnet_tpu.train.checkpoint import (find_checkpoint,
+                                              load_model_variables)
+
+    path = args["model_file"]
+    resolved = (find_checkpoint(args.get("ckpt_dir", "ckpts"), str(path))
+                or find_checkpoint("/root/reference/ckpts", str(path)))
+    if resolved is not None:
+        path = resolved
+    n_layers = args.get("n_layers")
+    n_layers = int(n_layers) if n_layers is not None else (
+        2 if kind == "chirp" else 10)
+    return load_model_variables(model, path, n_layers=n_layers), overrides
+
+
 def load_calib(args: Dict[str, Any]):
     """``int8_calib=<.npy>`` → (B, 1, L) f32 calibration batch or None."""
     if not args.get("int8_calib"):
@@ -126,13 +181,21 @@ def main(argv: Optional[List[str]] = None) -> str:
     if unknown:
         raise SystemExit(f"unknown argument(s) {sorted(unknown)}; "
                          f"supported: {sorted(_KNOWN_KEYS)}")
-    if not args.get("model_file"):
+    model = str(args.get("model") or "stofnet").lower()
+    if not args.get("model_file") and model != "gradpeak":
         raise SystemExit("model_file=<ckpt prefix or path> is required")
-    out = args.get("out") or f"{args['model_file']}.jaxexp"
+    out = args.get("out") or f"{args.get('model_file') or model}.jaxexp"
 
     from stofnet_tpu.serve import export_pipeline, save_pipeline
 
-    variables, overrides = resolve_variables_and_overrides(args)
+    if model == "stofnet":
+        variables, overrides = resolve_variables_and_overrides(args)
+    else:
+        if any(args.get(k) for k in ("int8_calib", "int8_stack",
+                                     "int8_eq_alpha", "int8_bias_correct")):
+            raise SystemExit("int8 export targets model=stofnet only")
+        variables, overrides = resolve_zoo_variables_and_overrides(args,
+                                                                   model)
 
     platforms = args.get("platforms", "cpu,tpu")
     if isinstance(platforms, str):
@@ -150,13 +213,13 @@ def main(argv: Optional[List[str]] = None) -> str:
     blob = export_pipeline(
         variables, overrides,
         batch, int(args.get("length", 8000)),
-        platforms=platforms,
+        platforms=platforms, model_name=model,
         window_size=int(args.get("window_size", 20)),
         threshold=None if th in (None, "Null") else float(th),
         max_echoes=int(args.get("max_echoes", 64)),
         int8_calib=calib, **load_stack_cfg(args))
     p = save_pipeline(out, blob)
-    print(f"exported {p} ({len(blob) / 1e6:.2f} MB, "
+    print(f"exported {p} ({len(blob) / 1e6:.2f} MB, model={model}, "
           f"platforms={','.join(platforms)}, "
           f"input=({args.get('batch', 128)}, 1, {args.get('length', 8000)}) "
           f"f32)", file=sys.stderr)

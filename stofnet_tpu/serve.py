@@ -29,15 +29,29 @@ import numpy as np
 
 
 def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
-                  *, window_size: int = 20, threshold: Optional[float] = None,
+                  *, model_name: str = "stofnet", window_size: int = 20,
+                  threshold: Optional[float] = None,
                   max_echoes: int = 64, dtype: Any = None,
                   int8_calib: Any = None,
                   int8_stack_layers: Optional[Tuple[int, ...]] = None,
                   int8_eq_alpha: Optional[float] = None,
                   int8_bias_correct: bool = False):
     """The serving callable ``x (B, 1, L) f32 -> coords`` with weights
-    closed over: StofNet forward (bf16 by default) + the protocol decode
+    closed over: model forward (bf16 by default) + the protocol decode
     in the checkpoint's own upsample units (reference main.py:291-321).
+
+    ``model_name`` serves ANY registry model — the reference benchmarks a
+    7-model zoo behind one CLI switch (main.py:133-167), so the serving
+    story covers the zoo behind one flag too. For non-StofNet models,
+    ``overrides`` holds the ``registry.build_model`` kwargs
+    (``dataset_kind``/``upsample_factor``/``sample_num``/
+    ``rf_scale_factor``/``fs``). Output stays coords-shaped for every
+    family: heatmap models decode via ``mask2coords`` (0 = empty slot);
+    regression models (zonzini: direct per-frame ToA, gradpeak: the
+    classical detector's echo table) return their predictions reshaped to
+    ``(B, n_echoes)`` f32 — exactly the eval protocol's ``es_sample``
+    (train/steps.py regression branch). For ``gradpeak``, ``threshold``
+    is the detector's hysteresis threshold, as in the reference CLI.
 
     ``int8_calib``: a representative (B, 1, L) f32 batch switches the
     forward to the int8-SGB serving path (`models/int8.py`) — the batch
@@ -59,7 +73,41 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     from stofnet_tpu.ops import mask2coords
 
     dtype = jnp.bfloat16 if dtype is None else dtype
+    model_name = model_name.lower()
     up = int(overrides.get("upsample_factor", 4))
+
+    if model_name != "stofnet":
+        if int8_calib is not None or int8_stack_layers:
+            raise ValueError("int8 serving targets model=stofnet only "
+                             "(the quantized path is the SemiGlobalBlock; "
+                             "other models have none)")
+        from stofnet_tpu.models.registry import build_model
+
+        model, updates = build_model(model_name, th=threshold, dtype=dtype,
+                                     **overrides)
+        if model_name in ("zonzini", "gradpeak"):
+            if model_name == "gradpeak":
+                # slot count follows the serving contract (echo_max — the
+                # top-amplitude pruning — stays the registry's protocol
+                # value); GradPeak is a plain callable, not a flax module
+                model.max_echoes = max_echoes
+
+            def pipe(x):
+                pred = model.apply(variables, x)
+                return pred.reshape((pred.shape[0], -1)).astype(jnp.float32)
+
+            return pipe
+        up = int(updates.get("upsample_factor", up))
+
+        def decode_zoo(heat):
+            return mask2coords(heat.astype(jnp.float32),
+                               window_size=window_size, threshold=threshold,
+                               upsample_factor=up, max_echoes=max_echoes)
+
+        def pipe(x):
+            return decode_zoo(model.apply(variables, x))
+
+        return pipe
 
     def decode(heat):
         return mask2coords(heat.astype(jnp.float32),

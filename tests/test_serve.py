@@ -84,6 +84,136 @@ def test_cli_export_reference_checkpoint(tmp_path):
             f"row {b}: decoded {valid} vs expected ~{p0}")
 
 
+def _echo_batch(L: int, positions=(300.0, 500.0)) -> np.ndarray:
+    t = np.arange(L, dtype=np.float32)
+    return np.stack([
+        (np.exp(-0.5 * ((t - p0 * L / 800.0) / 12.0) ** 2)
+         * np.sin(2 * np.pi * t / 20.0))[None]
+        for p0 in positions]).astype(np.float32)
+
+
+# (input length, registry.build_model kwargs) per family — the whole zoo
+# behind the reference's one model= switch (main.py:133-167) exports.
+# kuleshov: input_length = sample_num*rf_scale must equal L and be
+# divisible by 2**num_layers; sincnet: the sinc filterbank needs fs;
+# zonzini: 4 stride-4 stages need L >= ~700 (see the model's guard).
+ZOO_EXPORT_CASES = {
+    "edsr": (256, {}),
+    "espcn": (256, {}),
+    "unet": (256, {}),
+    "kuleshov": (256, {"sample_num": 32, "rf_scale_factor": 8}),
+    "sincnet": (1024, {"fs": 1e5}),
+    "zonzini": (1024, {}),
+    "gradpeak": (800, {}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ZOO_EXPORT_CASES))
+def test_zoo_export_roundtrip(name, tmp_path):
+    """Every registry model exports to a self-contained artifact that
+    equals the live pipeline bit-for-bit; output stays coords-shaped
+    (heatmap decode / zonzini one-slot ToA / gradpeak echo table)."""
+    from stofnet_tpu.models.registry import build_model
+
+    L, kw = ZOO_EXPORT_CASES[name]
+    overrides = {"dataset_kind": "chirp", "upsample_factor": 4,
+                 "rf_scale_factor": 10, **kw}
+    model, _ = build_model(name, th=None, dtype=jnp.bfloat16, **overrides)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+
+    blob = export_pipeline(variables, overrides, batch=2, length=L,
+                           max_echoes=8, model_name=name)
+    served = load_pipeline(save_pipeline(tmp_path / f"{name}.jaxexp", blob))
+    live = jax.jit(make_pipeline(variables, overrides, model_name=name,
+                                 max_echoes=8))
+
+    x = _echo_batch(L)
+    got = np.asarray(served(jnp.asarray(x)))
+    want = np.asarray(live(jnp.asarray(x)))
+    # zonzini: one direct-ToA slot; gradpeak on chirp: echo_max=1 pruning
+    # (the registry's protocol value, main.py:164); heatmap: max_echoes
+    assert got.shape == (2, 1 if name in ("zonzini", "gradpeak") else 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_export_zoo_model(tmp_path):
+    """cli.export model=espcn end to end on a random-init checkpoint saved
+    through the orbax path; and the family-specific knob validation is
+    loud (kuleshov without sample_num, sincnet without fs, int8 on a
+    non-stofnet model)."""
+    from stofnet_tpu.cli.export import main as export_main
+    from stofnet_tpu.models.registry import build_model
+    from stofnet_tpu.train.checkpoint import save_checkpoint
+
+    model, _ = build_model("espcn", upsample_factor=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 256)))
+    ckpt = tmp_path / "espcn_ckpt"
+    save_checkpoint(ckpt, {"variables": variables})
+
+    out = tmp_path / "espcn.jaxexp"
+    export_main([f"model_file={ckpt}", f"out={out}", "model=espcn",
+                 "batch=2", "length=256", "max_echoes=4", "th=Null",
+                 "platforms=cpu"])
+    served = load_pipeline(out)
+    assert np.asarray(served(jnp.asarray(_echo_batch(256)))).shape == (2, 4)
+
+    with pytest.raises(SystemExit, match="sample_num"):
+        export_main(["model=kuleshov", "model_file=x", "length=256"])
+    with pytest.raises(SystemExit, match="fs"):
+        export_main(["model=sincnet", "model_file=x", "length=256"])
+    with pytest.raises(SystemExit, match="stofnet only"):
+        export_main(["model=espcn", "model_file=x", "int8_calib=c.npy"])
+
+
+def test_gradpeak_export_needs_no_checkpoint(tmp_path):
+    """model=gradpeak is parameter-free: the CLI exports it without
+    model_file, and the artifact detects a synthetic echo onset."""
+    from stofnet_tpu.cli.export import main as export_main
+
+    out = tmp_path / "gradpeak.jaxexp"
+    # th=1e-5 = the reference's gradpeak benchmark threshold
+    # (bash_scripts/array_pala_params.txt:7); the auto-threshold heuristic
+    # (std**16*1.2e13) is knife-edge on short synthetic frames
+    export_main([f"out={out}", "model=gradpeak", "batch=2", "length=800",
+                 "max_echoes=8", "th=1e-5", "platforms=cpu"])
+    served = load_pipeline(out)
+    coords = np.asarray(served(jnp.asarray(_echo_batch(800))))
+    # dataset_kind=chirp default → echo_max=1 pruning (main.py:164):
+    # one onset slot per frame
+    assert coords.shape == (2, 1)
+    for b, p0 in enumerate((300.0, 500.0)):
+        valid = coords[b][coords[b] > 0]
+        assert valid.size, f"row {b}: no echo detected"
+        assert np.min(np.abs(valid - p0)) < 60.0, (
+            f"row {b}: detected {valid} vs expected ~{p0}")
+
+
+def test_host_serves_regression_artifact(tmp_path):
+    """The dynamic-batching host is output-shape-agnostic: a zonzini
+    artifact (one ToA slot per frame) fans out through the same
+    submit/result path as coords, bit-exact vs the direct call."""
+    from stofnet_tpu.models.registry import build_model
+    from stofnet_tpu.serving import ServingHost
+
+    L = 1024
+    overrides = {"dataset_kind": "chirp"}
+    model, _ = build_model("zonzini", dtype=jnp.bfloat16, **overrides)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+    blob = export_pipeline(variables, overrides, batch="b", length=L,
+                           model_name="zonzini")
+    served = load_pipeline(save_pipeline(tmp_path / "z.jaxexp", blob))
+
+    host = ServingHost(served, length=L, max_batch=4)
+    try:
+        x = _echo_batch(L, positions=(300.0, 500.0, 650.0))
+        futs = [host.submit(x[i, 0]) for i in range(3)]
+        got = np.stack([f.result(timeout=60.0) for f in futs])
+        want = np.asarray(served(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        host.close()
+
+
 def test_int8_export_roundtrip(small_ckpt, tmp_path):
     """int8_calib switches the exported forward to the quantized SGB
     path; the artifact equals the live int8 pipeline bit-for-bit and
