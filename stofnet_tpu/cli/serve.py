@@ -86,7 +86,11 @@ def build(args: Dict[str, Any]):
 
         jax.config.update("jax_compilation_cache_dir",
                           str(args["compile_cache"]))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # threshold 0: persist EVERY bucket — a compile that happened to
+        # be fast this time still costs a full relay compile round trip
+        # at the next daemon restart (and a >0 threshold makes warm-
+        # process warmups skip persistence entirely)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from stofnet_tpu.serving import ServingHost, start_server
 
