@@ -7,6 +7,12 @@ checkpoint resolution at serving time)::
 
     python -m stofnet_tpu.cli.serve artifact=stofnet.jaxexp port=7733
 
+Several artifacts (comma-separated) serve MULTIPLE waveform lengths from
+one port — requests route by length (per-probe frame lengths each get
+their own length-specialized artifact and dynamic-batching dispatcher)::
+
+    python -m stofnet_tpu.cli.serve artifact=l8000.jaxexp,l16000.jaxexp
+
 or straight from a checkpoint (jit-compiles locally; accepts the same
 architecture-override keys as the exporter, plus int8_calib=)::
 
@@ -97,23 +103,28 @@ def build(args: Dict[str, Any]):
     if args.get("artifact"):
         if args.get("model_file"):
             raise SystemExit("pass artifact= OR model_file=, not both")
-        from stofnet_tpu.serve import load_pipeline
+        raw = args["artifact"]
+        paths = ([str(p) for p in raw] if isinstance(raw, (list, tuple))
+                 else [p.strip() for p in str(raw).split(",") if p.strip()])
+        hosts = [_artifact_host(p, args, ServingHost) for p in paths]
+        if len(hosts) == 1:
+            hostd = hosts[0]
+        else:
+            # one daemon, one port, N per-probe lengths: requests route
+            # by waveform length (the protocol already carries L)
+            from stofnet_tpu.serving import LengthRouter
 
-        pipeline = load_pipeline(args["artifact"])
-        (aval,) = pipeline.in_avals
-        length = int(aval.shape[-1])  # length is static in every export
-        batch_dim = aval.shape[0]
-        # a fixed-batch artifact can only run its one exported size: the
-        # host must use that size as its single bucket
-        fixed = int(batch_dim) if str(batch_dim).isdigit() else None
-        max_batch = int(args.get("max_batch", fixed or 128))
-        if fixed is not None and max_batch != fixed:
-            raise SystemExit(
-                f"artifact was exported at fixed batch={fixed}; serve it "
-                f"with max_batch={fixed} (or re-export with batch=b for "
-                f"a batch-polymorphic artifact)")
-        buckets = (fixed,) if fixed is not None else None
-    elif args.get("model_file"):
+            by_length = {}
+            for p, h in zip(paths, hosts):
+                if h.length in by_length:
+                    raise SystemExit(
+                        f"artifacts {by_length[h.length]} and {p} both "
+                        f"serve length {h.length}; lengths must be "
+                        f"distinct to route by waveform length")
+                by_length[h.length] = p
+            hostd = LengthRouter({h.length: h for h in hosts})
+        return _finish(hostd, args)
+    if args.get("model_file"):
         if not args.get("length"):
             raise SystemExit("length= is required with model_file= "
                              "(the serving contract's static length)")
@@ -129,34 +140,68 @@ def build(args: Dict[str, Any]):
             threshold=None if th in (None, "Null") else float(th),
             max_echoes=int(args.get("max_echoes", 64)),
             int8_calib=load_calib(args), **load_stack_cfg(args)))
-        length = int(args["length"])
         max_batch = int(args.get("max_batch", 128))
-        buckets = None
-    else:
-        raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
+        pipeline, buckets = _mesh_adjust(pipeline, args, None, max_batch)
+        hostd = ServingHost(pipeline, int(args["length"]),
+                            max_batch=max_batch,
+                            max_wait_ms=float(args.get("max_wait_ms", 2.0)),
+                            buckets=buckets)
+        return _finish(hostd, args)
+    raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
 
-    if args.get("mesh"):
-        from stofnet_tpu.serving import batch_buckets
 
-        pipeline, dp = _mesh_wrap(pipeline, args)
-        if max_batch % dp:
-            raise SystemExit(f"max_batch={max_batch} must be divisible by "
-                             f"the dp mesh size {dp}")
-        if buckets is not None and any(b % dp for b in buckets):
-            raise SystemExit(f"fixed artifact batch {buckets} not divisible "
-                             f"by the dp mesh size {dp}")
-        if buckets is None:
-            # only dp-divisible batches shard evenly; sub-dp requests pad
-            # up to one waveform per chip
-            buckets = tuple(b for b in batch_buckets(max_batch)
-                            if b % dp == 0)
+def _mesh_adjust(pipeline, args: Dict[str, Any], buckets, max_batch: int):
+    """``mesh=True``: wrap the pipeline for dp sharding and restrict
+    buckets to dp-divisible sizes; no-op otherwise."""
+    if not args.get("mesh"):
+        return pipeline, buckets
+    from stofnet_tpu.serving import batch_buckets
 
-    hostd = ServingHost(pipeline, length, max_batch=max_batch,
-                        max_wait_ms=float(args.get("max_wait_ms", 2.0)),
-                        buckets=buckets)
+    pipeline, dp = _mesh_wrap(pipeline, args)
+    if max_batch % dp:
+        raise SystemExit(f"max_batch={max_batch} must be divisible by "
+                         f"the dp mesh size {dp}")
+    if buckets is not None and any(b % dp for b in buckets):
+        raise SystemExit(f"fixed artifact batch {buckets} not divisible "
+                         f"by the dp mesh size {dp}")
+    if buckets is None:
+        # only dp-divisible batches shard evenly; sub-dp requests pad
+        # up to one waveform per chip
+        buckets = tuple(b for b in batch_buckets(max_batch) if b % dp == 0)
+    return pipeline, buckets
+
+
+def _artifact_host(path: str, args: Dict[str, Any], ServingHost):
+    """One ServingHost from one export artifact (its static length is the
+    routing key when several artifacts share the daemon)."""
+    from stofnet_tpu.serve import load_pipeline
+
+    pipeline = load_pipeline(path)
+    (aval,) = pipeline.in_avals
+    length = int(aval.shape[-1])  # length is static in every export
+    batch_dim = aval.shape[0]
+    # a fixed-batch artifact can only run its one exported size: the
+    # host must use that size as its single bucket
+    fixed = int(batch_dim) if str(batch_dim).isdigit() else None
+    max_batch = int(args.get("max_batch", fixed or 128))
+    if fixed is not None and max_batch != fixed:
+        raise SystemExit(
+            f"artifact was exported at fixed batch={fixed}; serve it "
+            f"with max_batch={fixed} (or re-export with batch=b for "
+            f"a batch-polymorphic artifact)")
+    buckets = (fixed,) if fixed is not None else None
+    pipeline, buckets = _mesh_adjust(pipeline, args, buckets, max_batch)
+    return ServingHost(pipeline, length, max_batch=max_batch,
+                       max_wait_ms=float(args.get("max_wait_ms", 2.0)),
+                       buckets=buckets)
+
+
+def _finish(hostd, args: Dict[str, Any]):
+    """Warmup + bind; shared tail for single-host and routed daemons."""
+    from stofnet_tpu.serving import start_server
+
     if args.get("warmup", True):
-        print(f"warming up {len(hostd.stats()['bucket_counts'])} buckets "
-              f"(pre-compiling every served batch shape)...",
+        print("warming up (pre-compiling every served batch shape)...",
               file=sys.stderr)
         hostd.warmup()
     server, _, port = start_server(
@@ -167,10 +212,10 @@ def build(args: Dict[str, Any]):
 def main(argv: Optional[List[str]] = None) -> None:
     args = parse_args(argv)
     hostd, server, port = build(args)
-    print(f"serving waveforms of length {hostd.length} on "
-          f"{args.get('host', '127.0.0.1')}:{port} "
-          f"(max_batch={hostd.max_batch}, "
-          f"max_wait={1e3 * hostd.max_wait_s:g} ms); ctrl-c to stop",
+    lengths = getattr(hostd, "lengths", None) or (hostd.length,)
+    print(f"serving waveforms of length{'s' if len(lengths) > 1 else ''} "
+          f"{', '.join(map(str, lengths))} on "
+          f"{args.get('host', '127.0.0.1')}:{port}; ctrl-c to stop",
           file=sys.stderr)
 
     stop = threading.Event()

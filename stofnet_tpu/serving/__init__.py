@@ -10,10 +10,12 @@ actually earns its throughput), and results fan back out per request.
 """
 
 from stofnet_tpu.serving.host import ServingHost, batch_buckets
+from stofnet_tpu.serving.router import LengthRouter
 from stofnet_tpu.serving.tcp import ServingClient, ServingTCPServer, start_server
 
 __all__ = [
     "ServingHost",
+    "LengthRouter",
     "batch_buckets",
     "ServingClient",
     "ServingTCPServer",

@@ -62,6 +62,93 @@ class RecordingPipeline:
         return np.asarray(x)[:, 0, :ECHOES]
 
 
+def test_length_router_routes_and_rejects():
+    """LengthRouter: requests route to the host whose static length
+    matches x.shape[-1]; an unserved length raises naming the served set
+    (submit-time, not in the Future); stats aggregate across lengths;
+    close closes every host."""
+    from stofnet_tpu.serving import LengthRouter
+
+    pipes = {400: RecordingPipeline(), 800: RecordingPipeline()}
+    hosts = {length: ServingHost(p, length, max_batch=4)
+             for length, p in pipes.items()}
+    router = LengthRouter(hosts)
+    assert router.lengths == (400, 800)
+
+    rng = np.random.default_rng(0)
+    for length in (400, 800, 400):
+        x = rng.standard_normal(length).astype(np.float32)
+        got = router.infer(x, timeout=30.0)
+        np.testing.assert_array_equal(got, x[:ECHOES])
+    assert pipes[400].calls == 2 and pipes[800].calls == 1
+    assert all(s[-1] == 400 for s in pipes[400].shapes)
+
+    with pytest.raises(ValueError, match=r"600.*\(400, 800\)"):
+        router.submit(np.zeros(600, np.float32))
+
+    s = router.stats()
+    assert s["requests"] == 3 and s["waveforms"] == 3
+    assert set(s["per_length"]) == {400, 800}
+
+    router.close()
+    with pytest.raises(RuntimeError):
+        hosts[400].submit(np.zeros(400, np.float32))
+
+    # constructor validation: key must match the host's own length
+    h = ServingHost(RecordingPipeline(), 400, max_batch=2)
+    try:
+        with pytest.raises(ValueError, match="router key"):
+            LengthRouter({800: h})
+    finally:
+        h.close()
+
+
+def test_cli_serve_multi_length_artifacts(tmp_path):
+    """cli.serve artifact=a,b serves TWO lengths from one port: the same
+    connection round-trips both, each bit-exact vs its artifact called
+    directly; an unserved length reports in-band and the connection
+    keeps working; duplicate lengths are refused at build."""
+    from stofnet_tpu.cli.serve import build
+    from stofnet_tpu.models import StofNet
+    from stofnet_tpu.serve import (export_pipeline, load_pipeline,
+                                   make_pipeline, save_pipeline)
+
+    overrides = {"num_features": 16, "semi_global_scale": 8, "num_blocks": 4}
+    model = StofNet(**overrides)
+    arts = {}
+    for L in (400, 800):
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+        blob = export_pipeline(variables, overrides, batch="b", length=L,
+                               max_echoes=ECHOES, platforms=("cpu",))
+        arts[L] = save_pipeline(tmp_path / f"l{L}.jaxexp", blob)
+
+    host, server, port = build(
+        {"artifact": f"{arts[400]},{arts[800]}", "max_batch": 4})
+    try:
+        assert host.lengths == (400, 800)
+        rng = np.random.default_rng(1)
+        with ServingClient(("127.0.0.1", port)) as cli:
+            for L in (400, 800, 400):
+                x = rng.standard_normal(L).astype(np.float32)
+                got = cli.infer(x)
+                want = np.asarray(load_pipeline(arts[L])(
+                    jnp.asarray(x.reshape(1, 1, L))))[0]
+                np.testing.assert_array_equal(got, want)
+            with pytest.raises(RuntimeError, match="no artifact serves"):
+                cli.infer(np.zeros(600, np.float32))
+            # framing survived the in-band error: same connection works
+            x = rng.standard_normal(400).astype(np.float32)
+            assert cli.infer(x).shape == (ECHOES,)
+    finally:
+        server.shutdown()
+        server.server_close()
+        host.close()
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="distinct"):
+        build({"artifact": f"{arts[400]},{arts[400]}", "max_batch": 4})
+
+
 def test_batch_buckets():
     assert batch_buckets(128) == (1, 2, 4, 8, 16, 32, 64, 128)
     assert batch_buckets(12) == (1, 2, 4, 8, 12)
