@@ -8,6 +8,12 @@ request  : magic ``b"SFN1"`` + ``<II`` (k, L) + k*L float32 (LE)
 response : ``<iI``  (status, m)
            status 0: m = E (coords per waveform), then k*E float32
            status 1: m = byte length of a UTF-8 error message, then it
+           status 2: m = byte length of a UTF-8 JSON document, then it
+
+stats    : magic ``b"SFNS"`` (no further header) → status-2 response with
+           the host's live stats (occupancy, latency percentiles, bucket
+           counts; per-length when the daemon routes several artifacts) —
+           production monitoring without stopping the daemon
 
 A connection carries any number of request/response cycles (connection
 reuse amortizes the TCP handshake at high request rates); requests from
@@ -30,6 +36,7 @@ import numpy as np
 from stofnet_tpu.serving.host import ServingHost
 
 MAGIC = b"SFN1"
+STATS_MAGIC = b"SFNS"
 _REQ_HDR = struct.Struct("<II")
 _RSP_HDR = struct.Struct("<iI")
 # sanity bound on k*L so a corrupt/hostile header cannot make the server
@@ -51,13 +58,23 @@ def _recv_exact(sock_file, n: int) -> Optional[bytes]:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
         while True:
-            head = _recv_exact(self.rfile, len(MAGIC) + _REQ_HDR.size)
-            if head is None:
+            magic = _recv_exact(self.rfile, len(MAGIC))
+            if magic is None:
                 return  # client closed between requests
-            if head[:4] != MAGIC:
-                self._send_error(f"bad magic {head[:4]!r}")
+            if magic == STATS_MAGIC:
+                import json
+
+                data = json.dumps(self.server.host.stats()).encode()
+                self.wfile.write(_RSP_HDR.pack(2, len(data)) + data)
+                self.wfile.flush()
+                continue
+            if magic != MAGIC:
+                self._send_error(f"bad magic {magic!r}")
                 return  # framing is lost; drop the connection
-            k, length = _REQ_HDR.unpack(head[4:])
+            head = _recv_exact(self.rfile, _REQ_HDR.size)
+            if head is None:
+                raise ConnectionError("EOF inside request header")
+            k, length = _REQ_HDR.unpack(head)
             if not (1 <= k * length <= _MAX_SAMPLES):
                 self._send_error(f"refusing request of {k}x{length} samples")
                 return
@@ -128,6 +145,25 @@ class ServingClient:
             raise ConnectionError("EOF inside response payload")
         out = np.frombuffer(body, "<f4").reshape(k, m)
         return out[0] if squeeze else out
+
+    def stats(self) -> dict:
+        """Query the daemon's live serving stats (occupancy, latency
+        percentiles, bucket counts; per-length for routed daemons)."""
+        import json
+
+        self._f.write(STATS_MAGIC)
+        self._f.flush()
+        head = _recv_exact(self._f, _RSP_HDR.size)
+        if head is None:
+            raise ConnectionError("server closed the connection")
+        status, m = _RSP_HDR.unpack(head)
+        body = _recv_exact(self._f, m)
+        if status == 1:
+            raise RuntimeError(f"server error: "
+                               f"{(body or b'').decode(errors='replace')}")
+        if status != 2 or body is None:
+            raise ConnectionError(f"bad stats response (status={status})")
+        return json.loads(body.decode())
 
     def close(self) -> None:
         try:

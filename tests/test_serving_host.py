@@ -139,6 +139,10 @@ def test_cli_serve_multi_length_artifacts(tmp_path):
             # framing survived the in-band error: same connection works
             x = rng.standard_normal(400).astype(np.float32)
             assert cli.infer(x).shape == (ECHOES,)
+            # live stats over the same connection: aggregated + per-length
+            s = cli.stats()
+            assert s["requests"] == 4 and set(s["per_length"]) == {"400",
+                                                                   "800"}
     finally:
         server.shutdown()
         server.server_close()
@@ -279,6 +283,26 @@ def test_close_drains_pending_and_rejects_new():
     with pytest.raises(RuntimeError, match="closed"):
         host.submit(x)
     host.close()  # idempotent
+
+
+def test_tcp_stats_query(live_pipeline):
+    """The SFNS control message returns the host's LIVE stats over the
+    data connection — monitoring without stopping the daemon. Counters
+    move between queries; infer keeps working after a stats round."""
+    with ServingHost(live_pipeline, LENGTH, max_batch=4) as host:
+        server, _, port = start_server(host)
+        try:
+            with ServingClient(("127.0.0.1", port)) as cli:
+                s0 = cli.stats()
+                assert s0["requests"] == 0 and "occupancy" in s0
+                cli.infer(np.zeros(LENGTH, np.float32))
+                s1 = cli.stats()
+                assert s1["requests"] == 1 and s1["waveforms"] == 1
+                assert "latency_p50_ms" in s1
+                assert cli.infer(np.zeros(LENGTH, np.float32)).size
+        finally:
+            server.shutdown()
+            server.server_close()
 
 
 def test_warmup_precompiles_every_bucket():
