@@ -117,6 +117,8 @@ def build(args: Dict[str, Any]):
             by_length = {}
             for p, h in zip(paths, hosts):
                 if h.length in by_length:
+                    for built in hosts:  # don't leak dispatcher threads
+                        built.close(timeout=5.0)
                     raise SystemExit(
                         f"artifacts {by_length[h.length]} and {p} both "
                         f"serve length {h.length}; lengths must be "
