@@ -24,7 +24,8 @@ Tuning: ``max_batch=`` (largest coalesced device batch), ``max_wait_ms=``
 (latency the oldest request may spend waiting for the batch to fill),
 ``warmup=False`` to skip pre-compiling every bucket at startup;
 ``compile_cache=DIR`` persists bucket compiles so daemon restarts skip
-them.
+them; ``max_pending=N`` caps waveforms in flight per length (admission
+control: overload rejects in-band instead of growing the queue).
 ``mesh=True [mesh_dp=N]`` shards every served batch over a dp device mesh
 (multi-chip serving from one daemon; buckets restricted to dp-divisible
 sizes so GSPMD splits them evenly).
@@ -48,7 +49,7 @@ _KNOWN_KEYS = frozenset({
     "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
     "max_echoes", "int8_calib", "int8_stack", "int8_eq_alpha",
     "int8_bias_correct", "host", "port", "max_batch", "max_wait_ms",
-    "warmup", "mesh", "mesh_dp", "compile_cache",
+    "warmup", "mesh", "mesh_dp", "compile_cache", "max_pending",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
 })
 
@@ -147,9 +148,19 @@ def build(args: Dict[str, Any]):
         hostd = ServingHost(pipeline, int(args["length"]),
                             max_batch=max_batch,
                             max_wait_ms=float(args.get("max_wait_ms", 2.0)),
-                            buckets=buckets)
+                            buckets=buckets,
+                            max_pending=_max_pending(args))
         return _finish(hostd, args)
     raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
+
+
+def _max_pending(args: Dict[str, Any]):
+    """``max_pending=N``: admission limit (waveforms submitted but not
+    yet resolved, per length) — open-loop producers should set it so
+    overload rejects loudly instead of growing the queue without bound;
+    unset = unbounded (the closed-loop default)."""
+    v = args.get("max_pending")
+    return None if v in (None, "Null") else int(v)
 
 
 def _mesh_adjust(pipeline, args: Dict[str, Any], buckets, max_batch: int):
@@ -195,7 +206,7 @@ def _artifact_host(path: str, args: Dict[str, Any], ServingHost):
     pipeline, buckets = _mesh_adjust(pipeline, args, buckets, max_batch)
     return ServingHost(pipeline, length, max_batch=max_batch,
                        max_wait_ms=float(args.get("max_wait_ms", 2.0)),
-                       buckets=buckets)
+                       buckets=buckets, max_pending=_max_pending(args))
 
 
 def _finish(hostd, args: Dict[str, Any]):

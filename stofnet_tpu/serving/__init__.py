@@ -9,12 +9,13 @@ host coalesces them into large static-shape batches (where the TPU's MXU
 actually earns its throughput), and results fan back out per request.
 """
 
-from stofnet_tpu.serving.host import ServingHost, batch_buckets
+from stofnet_tpu.serving.host import Overloaded, ServingHost, batch_buckets
 from stofnet_tpu.serving.router import LengthRouter
 from stofnet_tpu.serving.tcp import ServingClient, ServingTCPServer, start_server
 
 __all__ = [
     "ServingHost",
+    "Overloaded",
     "LengthRouter",
     "batch_buckets",
     "ServingClient",

@@ -48,6 +48,13 @@ import numpy as np
 _SENTINEL = object()
 
 
+class Overloaded(RuntimeError):
+    """Raised at submit when the host's ``max_pending`` admission limit
+    is hit — the caller should shed load or retry with backoff. Reported
+    in-band by the TCP front like any request error (the connection and
+    the daemon keep working)."""
+
+
 def batch_buckets(max_batch: int) -> Tuple[int, ...]:
     """Powers of two up to ``max_batch`` (plus ``max_batch`` itself when
     it is not one). The static-shape set the host pads batches into."""
@@ -87,6 +94,7 @@ class ServingHost:
     def __init__(self, pipeline: Callable[[np.ndarray], Any], length: int,
                  *, max_batch: int = 128, max_wait_ms: float = 2.0,
                  buckets: Optional[Sequence[int]] = None,
+                 max_pending: Optional[int] = None,
                  timer: Callable[[], float] = time.monotonic):
         self._pipeline = pipeline
         self.length = int(length)
@@ -100,12 +108,19 @@ class ServingHost:
         if not self._buckets or self._buckets[-1] != self.max_batch:
             raise ValueError(f"buckets {self._buckets} must end at "
                              f"max_batch={self.max_batch}")
+        # admission control: max WAVEFORMS submitted but not yet resolved
+        # (queued + in-flight — a slow device builds backlog both places);
+        # None = unbounded (the closed-loop default; open-loop producers
+        # should set it or the queue grows without bound under overload)
+        self._max_pending = None if max_pending is None else int(max_pending)
+        self._pending_rows = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
         self._stats: Dict[str, Any] = {
             "requests": 0, "waveforms": 0, "batches": 0, "padded": 0,
-            "errors": 0, "bucket_counts": {b: 0 for b in self._buckets},
+            "errors": 0, "rejected": 0,
+            "bucket_counts": {b: 0 for b in self._buckets},
         }
         self._latencies: deque = deque(maxlen=4096)
         self._thread = threading.Thread(
@@ -125,6 +140,15 @@ class ServingHost:
         with self._lock:
             if self._closed:
                 raise RuntimeError("ServingHost is closed")
+            k = rows.shape[0]
+            if (self._max_pending is not None
+                    and self._pending_rows + k > self._max_pending):
+                self._stats["rejected"] += 1
+                raise Overloaded(
+                    f"serving queue full ({self._pending_rows} waveforms "
+                    f"pending, max_pending={self._max_pending}); shed load "
+                    f"or retry with backoff")
+            self._pending_rows += k
             self._stats["requests"] += 1
             self._queue.put(req)
         return req.future
@@ -146,6 +170,7 @@ class ServingHost:
         with self._lock:
             s = dict(self._stats)
             s["bucket_counts"] = dict(self._stats["bucket_counts"])
+            s["pending"] = self._pending_rows
             lat = sorted(self._latencies)
         s["occupancy"] = (s["waveforms"] / s["padded"]) if s["padded"] else 0.0
         if lat:
@@ -242,6 +267,7 @@ class ServingHost:
         except Exception as e:  # noqa: BLE001 — fan the failure out
             with self._lock:
                 self._stats["errors"] += 1
+                self._pending_rows -= n
             for r in batch:
                 r.future.set_exception(e)
             return
@@ -257,4 +283,5 @@ class ServingHost:
             self._stats["waveforms"] += n
             self._stats["padded"] += bucket
             self._stats["bucket_counts"][bucket] += 1
+            self._pending_rows -= n
             self._latencies.extend(done - r.t_submit for r in batch)

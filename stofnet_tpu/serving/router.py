@@ -65,7 +65,8 @@ class LengthRouter:
     def stats(self) -> Dict[str, Any]:
         per = {length: host.stats() for length, host in self._hosts.items()}
         agg: Dict[str, Any] = {"per_length": per}
-        for key in ("requests", "waveforms", "batches", "padded", "errors"):
+        for key in ("requests", "waveforms", "batches", "padded", "errors",
+                    "rejected", "pending"):
             agg[key] = sum(s[key] for s in per.values())
         agg["occupancy"] = (agg["waveforms"] / agg["padded"]
                             if agg["padded"] else 0.0)

@@ -285,6 +285,71 @@ def test_close_drains_pending_and_rejects_new():
     host.close()  # idempotent
 
 
+def test_admission_control_rejects_overload():
+    """max_pending: submits beyond the in-flight waveform cap raise
+    Overloaded AT SUBMIT (not in the Future), the rejection is counted,
+    accepted work completes untouched, and capacity frees once the
+    backlog resolves."""
+    from stofnet_tpu.serving import Overloaded
+
+    gate = threading.Event()
+    pipe = RecordingPipeline(gate=gate)
+    host = ServingHost(pipe, LENGTH, max_batch=2, max_pending=3,
+                       max_wait_ms=0.0)
+    try:
+        x = np.zeros(LENGTH, np.float32)
+        futs = [host.submit(x) for _ in range(3)]  # 1 in flight + 2 queued
+        with pytest.raises(Overloaded, match="max_pending=3"):
+            host.submit(x)
+        assert host.stats()["rejected"] == 1
+        assert host.stats()["pending"] == 3
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=30.0).shape == (ECHOES,)
+        # capacity freed: the previously rejected load now admits
+        assert host.submit(x).result(timeout=30.0).shape == (ECHOES,)
+        s = host.stats()
+        assert s["pending"] == 0 and s["requests"] == 4
+    finally:
+        gate.set()
+        host.close()
+
+
+def test_admission_control_over_tcp(live_pipeline):
+    """An Overloaded rejection reports in-band over TCP; the connection
+    and the daemon keep serving (cli max_pending= plumbs through)."""
+    from stofnet_tpu.serving import LengthRouter
+
+    gate = threading.Event()
+    pipe = RecordingPipeline(gate=gate)
+    host = ServingHost(pipe, LENGTH, max_batch=2, max_pending=1,
+                       max_wait_ms=0.0)
+    server, _, port = start_server(LengthRouter({LENGTH: host}))
+    try:
+        with ServingClient(("127.0.0.1", port)) as blocked, \
+                ServingClient(("127.0.0.1", port)) as cli:
+            waiter = threading.Thread(
+                target=blocked.infer, args=(np.zeros(LENGTH, np.float32),),
+                daemon=True)
+            waiter.start()
+            deadline = time.monotonic() + 10.0
+            while host.stats()["pending"] < 1:  # in flight, gate held
+                assert time.monotonic() < deadline, "first submit never ran"
+                time.sleep(0.005)
+            with pytest.raises(RuntimeError, match="Overloaded"):
+                cli.infer(np.zeros(LENGTH, np.float32))
+            gate.set()
+            waiter.join(30.0)
+            # same connection admits once capacity frees
+            assert cli.infer(np.zeros(LENGTH, np.float32)).shape == (ECHOES,)
+        assert host.stats()["rejected"] == 1
+    finally:
+        gate.set()
+        server.shutdown()
+        server.server_close()
+        host.close()
+
+
 def test_tcp_stats_query(live_pipeline):
     """The SFNS control message returns the host's LIVE stats over the
     data connection — monitoring without stopping the daemon. Counters
