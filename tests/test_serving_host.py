@@ -370,6 +370,43 @@ def test_tcp_stats_query(live_pipeline):
             server.server_close()
 
 
+def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
+    """examples/serving_client.c: the wire protocol is language-agnostic
+    — a dependency-free POSIX C client round-trips a waveform and the
+    stats query against a live daemon, coords bit-exact vs the direct
+    pipeline."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent / "examples" / \
+        "serving_client.c"
+    cc = shutil.which("gcc")
+    cmd = [cc, "-O2"] if cc else [shutil.which("g++"), "-O2", "-x", "c"]
+    if cmd[0] is None:
+        pytest.skip("no C compiler available")
+    exe = tmp_path / "serving_client"
+    subprocess.run([*cmd, "-o", str(exe), str(src)], check=True)
+
+    with ServingHost(live_pipeline, LENGTH, max_batch=4) as host:
+        server, _, port = start_server(host)
+        try:
+            x = np.random.default_rng(7).standard_normal(LENGTH).astype(
+                np.float32)
+            proc = subprocess.run(
+                [str(exe), "127.0.0.1", str(port), str(LENGTH)],
+                input=x.tobytes(), capture_output=True, check=True,
+                timeout=120)
+            got = np.array([float(v) for v in proc.stdout.split()],
+                           np.float32)
+            want = np.asarray(live_pipeline(x[None, None]))[0]
+            np.testing.assert_array_equal(got, want)
+            assert b'"requests": 1' in proc.stderr  # live stats round
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 def test_warmup_precompiles_every_bucket():
     pipe = RecordingPipeline()
     with ServingHost(pipe, LENGTH, max_batch=8) as host:
