@@ -14,7 +14,10 @@ their own length-specialized artifact and dynamic-batching dispatcher)::
     python -m stofnet_tpu.cli.serve artifact=l8000.jaxexp,l16000.jaxexp
 
 or straight from a checkpoint (jit-compiles locally; accepts the same
-architecture-override keys as the exporter, plus int8_calib=)::
+architecture-override keys as the exporter, plus int8_calib=; the whole
+zoo serves via model= + its family knobs, e.g. ``model=edsr
+model_file=proud-cherry length=8000`` or the parameter-free
+``model=gradpeak length=8000 th=1e-5``)::
 
     python -m stofnet_tpu.cli.serve model_file=different-armadillo \
         length=8000 port=7733 [th=Null] [max_echoes=64] [int8_calib=x.npy
@@ -51,6 +54,9 @@ _KNOWN_KEYS = frozenset({
     "int8_bias_correct", "host", "port", "max_batch", "max_wait_ms",
     "warmup", "mesh", "mesh_dp", "compile_cache", "max_pending",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
+    # whole-zoo serving from a checkpoint (same switch as the exporter)
+    "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
+    "n_layers",
 })
 
 
@@ -127,7 +133,8 @@ def build(args: Dict[str, Any]):
                 by_length[h.length] = p
             hostd = LengthRouter({h.length: h for h in hosts})
         return _finish(hostd, args)
-    if args.get("model_file"):
+    if args.get("model_file") or str(args.get("model", "")).lower() == \
+            "gradpeak":
         if not args.get("length"):
             raise SystemExit("length= is required with model_file= "
                              "(the serving contract's static length)")
@@ -135,10 +142,24 @@ def build(args: Dict[str, Any]):
 
         from stofnet_tpu.serve import make_pipeline
 
-        variables, overrides = resolve_variables_and_overrides(args)
+        model = str(args.get("model") or "stofnet").lower()
+        if model == "stofnet":
+            variables, overrides = resolve_variables_and_overrides(args)
+        else:
+            # whole-zoo serving straight from a checkpoint, same switch
+            # as the exporter (reference main.py:133-167)
+            if any(args.get(k) for k in ("int8_calib", "int8_stack",
+                                         "int8_eq_alpha",
+                                         "int8_bias_correct")):
+                raise SystemExit("int8 serving targets model=stofnet only")
+            from stofnet_tpu.cli.export import (
+                resolve_zoo_variables_and_overrides)
+
+            variables, overrides = resolve_zoo_variables_and_overrides(
+                args, model)
         th = args.get("th")
         pipeline = jax.jit(make_pipeline(
-            variables, overrides,
+            variables, overrides, model_name=model,
             window_size=int(args.get("window_size", 20)),
             threshold=None if th in (None, "Null") else float(th),
             max_echoes=int(args.get("max_echoes", 64)),

@@ -188,6 +188,35 @@ def test_gradpeak_export_needs_no_checkpoint(tmp_path):
             f"row {b}: detected {valid} vs expected ~{p0}")
 
 
+def test_cli_serve_zoo_from_checkpoint(tmp_path):
+    """cli.serve serves the zoo straight from a checkpoint (model= +
+    family knobs, same switch as the exporter): an espcn orbax ckpt and
+    the parameter-free gradpeak both answer over TCP."""
+    from stofnet_tpu.cli.serve import build
+    from stofnet_tpu.models.registry import build_model
+    from stofnet_tpu.serving import ServingClient
+    from stofnet_tpu.train.checkpoint import save_checkpoint
+
+    model, _ = build_model("espcn", upsample_factor=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 256)))
+    ckpt = tmp_path / "espcn_ckpt"
+    save_checkpoint(ckpt, {"variables": variables})
+
+    for args, L in (({"model": "espcn", "model_file": str(ckpt),
+                      "length": 256, "max_echoes": 4}, 256),
+                    ({"model": "gradpeak", "length": 800, "th": 1e-5}, 800)):
+        host, server, port = build({**args, "max_batch": 4,
+                                    "warmup": False})
+        try:
+            with ServingClient(("127.0.0.1", port)) as cli:
+                out = cli.infer(_echo_batch(L)[0, 0])
+                assert out.ndim == 1 and out.size >= 1
+        finally:
+            server.shutdown()
+            server.server_close()
+            host.close()
+
+
 def test_host_serves_regression_artifact(tmp_path):
     """The dynamic-batching host is output-shape-agnostic: a zonzini
     artifact (one ToA slot per frame) fans out through the same
