@@ -152,6 +152,26 @@ def test_cli_serve_multi_length_artifacts(tmp_path):
     with _pytest.raises(SystemExit, match="distinct"):
         build({"artifact": f"{arts[400]},{arts[400]}", "max_batch": 4})
 
+    # multi-length composes with dp-mesh serving: every per-length host
+    # gets its own mesh-wrapped pipeline, buckets restricted to
+    # dp-divisible sizes; decode still matches the plain artifact
+    host, server, port = build(
+        {"artifact": f"{arts[400]},{arts[800]}", "max_batch": 8,
+         "mesh": True, "mesh_dp": 4, "warmup": False})
+    try:
+        with ServingClient(("127.0.0.1", port)) as cli:
+            for L in (400, 800):
+                x = np.random.default_rng(2).standard_normal(
+                    (4, L)).astype(np.float32)
+                got = cli.infer(x)
+                want = np.asarray(load_pipeline(arts[L])(
+                    jnp.asarray(x[:, None])))
+                np.testing.assert_array_equal(got, want)
+    finally:
+        server.shutdown()
+        server.server_close()
+        host.close()
+
 
 def test_batch_buckets():
     assert batch_buckets(128) == (1, 2, 4, 8, 16, 32, 64, 128)
