@@ -1,0 +1,246 @@
+"""Training-parity demonstration #4: a BASELINE heatmap family (EDSR-1D).
+
+TRAINPARITY.md proves the flagship (StofNet), _zonzini the regression
+branch, _pala the PALA protocol; this one proves the method extends to
+the baseline zoo: torch reference ``EDSR_1D`` (main.py:140 config —
+num_features=64, num_blocks=8) and our ``models/edsr1d.py`` train from
+scratch with the reference recipe (AdamW lr 5e-4 wd 1e-8, cosine,
+early-stop patience 5, blurred-mask MSE + 1e-2 L1 — main.py:179-232) on
+the same synthetic chirp data, then BOTH final models run through OUR
+shared evaluation pipeline (torch weights via the golden-tested .pth
+importer). Distribution-level parity, not bitwise (SURVEY "hard parts").
+
+Writes TRAINPARITY_edsr.md. Run on CPU:
+    PALLAS_AXON_POOL_IPS= python scripts/train_parity_edsr.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+EPOCHS = 60
+BATCH = 8
+SAMPLE_NUM = 400
+RF_SCALE = 4  # L = 1600
+UPSAMPLE = 4
+ETOL = 9.0  # squared samples: matches within 3 samples
+SEED = 3008
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def train_torch(chirp_root, ckpt_dir: Path):
+    """The reference training recipe (main.py:179-248) on EDSR_1D, fed by
+    the identical dataset items."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import reference  # tests/reference.py
+
+    reference.add_to_path()
+    from models import EDSR_1D  # noqa: reference package
+    from utils.gaussian import gaussian_kernel
+    from utils.mask2samples import coords2mask
+
+    from stofnet_tpu.data.chirp import ChirpDataset
+    from stofnet_tpu.data.loader import DataLoader, split_dataset
+    from stofnet_tpu.data.transforms import (
+        AddNoise, Compose, CropChannelData, NormalizeVol,
+    )
+    from stofnet_tpu.train.early_stop import EarlyStopping
+
+    torch.manual_seed(SEED)
+    rng = np.random.default_rng(SEED)
+    tf = Compose([NormalizeVol(), CropChannelData(ratio=0.75, rng=rng),
+                  AddNoise(snr=30, rng=rng)])
+    ds = ChirpDataset(chirp_root, split_dirname="train",
+                      rf_scale_factor=RF_SCALE, transforms=tf)
+    train_idx, val_idx = split_dataset(len(ds), 0.2, seed=SEED)
+    train_loader = DataLoader(ds, train_idx, batch_size=BATCH, shuffle=True,
+                              drop_last=True, seed=SEED)
+    val_loader = DataLoader(ds, val_idx, batch_size=BATCH, drop_last=True)
+
+    # the driver's instantiation, main.py:140
+    model = EDSR_1D(num_channels=1, num_features=64, num_blocks=8,
+                    upscale_factor=UPSAMPLE)
+    optimizer = torch.optim.AdamW(model.parameters(), lr=5e-4,
+                                  weight_decay=1e-8)
+    scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(optimizer,
+                                                           T_max=EPOCHS)
+    early = EarlyStopping(patience=5, delta=1e-6, verbose=None)
+    gauss = torch.tensor(gaussian_kernel(size=7, sigma=1),
+                         dtype=torch.float32)[None, None]
+    mse, l1 = nn.MSELoss(), nn.L1Loss()
+
+    def torch_batch(batch):
+        _, rf, _, gt_sample, _, _ = batch
+        frame = torch.from_numpy(rf.astype(np.float32)).unsqueeze(1)
+        gt = torch.from_numpy(gt_sample.astype(np.float32)).reshape(-1, 1)
+        gt[(gt <= 0) | torch.isnan(gt)] = 0
+        gt_true = torch.round(gt.unsqueeze(1) * UPSAMPLE).long()
+        return frame, gt, gt_true
+
+    def loss_fn(masks_pred, gt_true):
+        masks_true = coords2mask(gt_true, masks_pred)
+        blur = F.conv1d(masks_true, gauss, padding=3)
+        blur = blur / blur.max() * 20.0
+        return (mse(masks_pred.squeeze(1), blur.squeeze(1).float())
+                + l1(masks_pred.squeeze(1),
+                     torch.zeros_like(masks_pred.squeeze(1))) * 1e-2)
+
+    curve = []
+    epochs_run = 0
+    for e in range(EPOCHS):
+        model.train()
+        tl = 0.0
+        for batch in train_loader:
+            frame, gt, gt_true = torch_batch(batch)
+            loss = loss_fn(model(frame), gt_true)
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+            tl += float(loss.item())  # sum of batch means (main.py:242)
+        scheduler.step()
+
+        model.eval()
+        vl = 0.0
+        with torch.no_grad():
+            for batch in val_loader:
+                frame, gt, gt_true = torch_batch(batch)
+                vl += float(loss_fn(model(frame), gt_true).item())
+        curve.append((tl / max(len(train_idx), 1), vl))
+        epochs_run = e + 1
+        log(f"[torch] epoch {e}: train {curve[-1][0]:.4f} val {vl:.4f}")
+        if early(vl):
+            break
+
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"torchref-0000_rf-scale{RF_SCALE}_epoch_{epochs_run}.pth"
+    torch.save(model.state_dict(), path)
+    return curve, path
+
+
+def train_jax(chirp_root, run_dir: Path, ckpt_dir: Path):
+    from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
+    from stofnet_tpu.utils.config import load_config
+
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(data_dir=str(chirp_root), evaluate=False, model="edsr",
+               epochs=EPOCHS, batch_size=BATCH, rf_scale_factor=RF_SCALE,
+               upsample_factor=UPSAMPLE, max_echoes=8, crop_ratio=0.75,
+               snr_db=30, seed=SEED, plot_interval=0, run_dir=str(run_dir),
+               ckpt_dir=str(ckpt_dir))
+    out = run(cfg)
+
+    import json
+
+    curve = []
+    for line in open(Path(run_dir) / f"{out['run_name']}.jsonl"):
+        rec = json.loads(line)
+        if rec.get("event") == "epoch":
+            curve.append((rec["train_loss"], rec["val_loss"]))
+    return curve, Path(out["checkpoint"])
+
+
+def evaluate_ckpt(chirp_root, ckpt: Path, run_dir: Path):
+    """Shared benchmark-protocol evaluation (our pipeline for both)."""
+    from stofnet_tpu.cli.main import DEFAULT_CONFIG, run
+    from stofnet_tpu.utils.config import load_config
+
+    cfg = load_config(DEFAULT_CONFIG)
+    cfg.update(data_dir=str(chirp_root), evaluate=True, model="edsr",
+               model_file=ckpt.name, ckpt_dir=str(ckpt.parent),
+               batch_size=2, rf_scale_factor=RF_SCALE,
+               upsample_factor=UPSAMPLE, th=None, max_echoes=8, etol=ETOL,
+               seed=SEED, run_dir=str(run_dir), save_artifacts=False)
+    return run(cfg)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from stofnet_tpu.data.synthetic import generate_chirp_dataset
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        chirp_root = generate_chirp_dataset(
+            td / "stof_chirp101_dataset", n_positions=4, n_train_per_pos=40,
+            n_test_per_pos=10, sample_num=SAMPLE_NUM)
+
+        log("=== training JAX EDSR-1D ===")
+        jax_curve, jax_ckpt = train_jax(chirp_root, td / "runs_jax",
+                                        td / "ckpts_jax")
+        log("=== training torch reference EDSR_1D ===")
+        torch_curve, torch_ckpt = train_torch(chirp_root, td / "ckpts_torch")
+
+        log("=== evaluating both through the shared pipeline ===")
+        jax_eval = evaluate_ckpt(chirp_root, jax_ckpt, td / "runs_eval_jax")
+        torch_eval = evaluate_ckpt(chirp_root, torch_ckpt,
+                                   td / "runs_eval_torch")
+
+    rj, rt = jax_eval["total_distance_mean"], torch_eval["total_distance_mean"]
+    jj, jt = jax_eval["total_jaccard"], torch_eval["total_jaccard"]
+
+    lines = [
+        "# TRAINPARITY (edsr) — baseline-family training parity",
+        "",
+        "Companion to TRAINPARITY.md (StofNet), _zonzini (regression) and",
+        "_pala (PALA protocol): both frameworks train EDSR-1D from scratch",
+        "with the reference recipe (main.py:140 config, blurred-mask MSE +",
+        "1e-2 L1, AdamW lr 5e-4, cosine, early-stop patience 5) on the same",
+        f"synthetic chirp data (L={SAMPLE_NUM * RF_SCALE}), then evaluate",
+        "through the shared pipeline (torch weights via the golden-tested",
+        ".pth importer).",
+        "",
+        f"Generated by scripts/train_parity_edsr.py on "
+        f"{time.strftime('%Y-%m-%d')} (CPU, {time.time() - t0:.0f}s).",
+        "",
+        f"## Final held-out metrics (etol={ETOL} squared samples)",
+        "",
+        "| framework | ToA RMSE [samples] | Jaccard [%] | val loss |",
+        "|---|---|---|---|",
+        f"| stofnet_tpu (JAX) | {rj:.2f} | {jj:.1f} | "
+        f"{jax_eval['val_loss']:.4f} |",
+        f"| reference (torch) | {rt:.2f} | {jt:.1f} | "
+        f"{torch_eval['val_loss']:.4f} |",
+        "",
+        "## Loss curves (per epoch: train, val)",
+        "",
+        "| epoch | JAX train | JAX val | torch train | torch val |",
+        "|---|---|---|---|---|",
+    ]
+    for i in range(max(len(jax_curve), len(torch_curve))):
+        j = jax_curve[i] if i < len(jax_curve) else ("-", "-")
+        t = torch_curve[i] if i < len(torch_curve) else ("-", "-")
+        fmt = lambda v: f"{v:.4f}" if isinstance(v, float) else v  # noqa: E731
+        lines.append(f"| {i} | {fmt(j[0])} | {fmt(j[1])} | {fmt(t[0])} | "
+                     f"{fmt(t[1])} |")
+    lines.append("")
+
+    (REPO / "TRAINPARITY_edsr.md").write_text("\n".join(lines))
+    log(f"JAX:   rmse {rj:.2f}  jaccard {jj:.1f}")
+    log(f"torch: rmse {rt:.2f}  jaccard {jt:.1f}")
+    log("wrote TRAINPARITY_edsr.md")
+
+    assert abs(jj - jt) <= 20.0, f"jaccard gap too large: {jj} vs {jt}"
+    assert rj <= 2.0 * max(rt, 2.0), f"rmse gap too large: {rj} vs {rt}"
+    log("PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
