@@ -74,15 +74,9 @@ def resolve_variables_and_overrides(args: Dict[str, Any]):
     in any shape — the default 80 matches every shipped checkpoint;
     pass semi_global_scale=N explicitly for a non-default pooling scale.
     Shared by this exporter and the serving daemon (cli/serve.py)."""
-    from stofnet_tpu.train.checkpoint import (find_checkpoint,
-                                              load_model_variables)
+    from stofnet_tpu.train.checkpoint import load_model_variables
 
-    path = args["model_file"]
-    resolved = (find_checkpoint(args.get("ckpt_dir", "ckpts"), str(path))
-                or find_checkpoint("/root/reference/ckpts", str(path)))
-    if resolved is not None:
-        path = resolved
-    variables = load_model_variables("stofnet", path)
+    variables = load_model_variables("stofnet", _resolve_ckpt_path(args))
     params = variables["params"]
     overrides = {
         "upsample_factor": int(params["conv_last"]["kernel"].shape[-1]),
@@ -97,6 +91,19 @@ def resolve_variables_and_overrides(args: Dict[str, Any]):
         if args.get(k) is not None:
             overrides[k] = int(args[k])
     return variables, overrides
+
+
+def _resolve_ckpt_path(args: Dict[str, Any]) -> str:
+    """Shared checkpoint lookup policy: prefix-match in ckpt_dir, then in
+    the reference's shipped ckpts, else treat model_file as a raw path
+    (reference main.py:174-177 semantics). One place, so the stofnet and
+    zoo exporters and the serving daemon stay in lockstep."""
+    from stofnet_tpu.train.checkpoint import find_checkpoint
+
+    path = args["model_file"]
+    resolved = (find_checkpoint(args.get("ckpt_dir", "ckpts"), str(path))
+                or find_checkpoint("/root/reference/ckpts", str(path)))
+    return str(resolved) if resolved is not None else str(path)
 
 
 def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
@@ -119,6 +126,12 @@ def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
                              "head is sized analytically from "
                              "sample_num*rf_scale_factor)")
         overrides["sample_num"] = int(args["sample_num"])
+        n = overrides["sample_num"] * overrides["rf_scale_factor"]
+        length = int(args.get("length", 8000))
+        if n != length:
+            raise SystemExit(
+                f"kuleshov input_length sample_num*rf_scale_factor={n} "
+                f"must equal the export length={length}")
     if model == "sincnet":
         if args.get("fs") is None:
             raise SystemExit("model=sincnet needs fs= (the sinc filterbank "
@@ -127,18 +140,17 @@ def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
     if model == "gradpeak":
         return {"params": {}}, overrides
 
-    from stofnet_tpu.train.checkpoint import (find_checkpoint,
-                                              load_model_variables)
+    from stofnet_tpu.train.checkpoint import load_model_variables
 
-    path = args["model_file"]
-    resolved = (find_checkpoint(args.get("ckpt_dir", "ckpts"), str(path))
-                or find_checkpoint("/root/reference/ckpts", str(path)))
-    if resolved is not None:
-        path = resolved
     n_layers = args.get("n_layers")
     n_layers = int(n_layers) if n_layers is not None else (
         2 if kind == "chirp" else 10)
-    return load_model_variables(model, path, n_layers=n_layers), overrides
+    if model == "unet":
+        # the CONSTRUCTED depth must match the imported tree, not just
+        # the import's rewrite table (registry.build_model n_layers)
+        overrides["n_layers"] = n_layers
+    return (load_model_variables(model, _resolve_ckpt_path(args),
+                                 n_layers=n_layers), overrides)
 
 
 def load_calib(args: Dict[str, Any]):

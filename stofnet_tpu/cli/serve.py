@@ -96,6 +96,7 @@ def build(args: Dict[str, Any]):
         # owns its process, so no restore is needed (cf. cli/main.py's
         # run-scoped variant).
         import jax
+        from jax.experimental.compilation_cache import compilation_cache
 
         jax.config.update("jax_compilation_cache_dir",
                           str(args["compile_cache"]))
@@ -104,6 +105,11 @@ def build(args: Dict[str, Any]):
         # at the next daemon restart (and a >0 threshold makes warm-
         # process warmups skip persistence entirely)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # the persistent cache object is created lazily ONCE; if an
+        # earlier compile in this process already initialized it (with a
+        # different dir or none), the dir update above is ignored —
+        # reset so warmup compiles land in THIS daemon's cache
+        compilation_cache.reset_cache()
 
     from stofnet_tpu.serving import ServingHost, start_server
 
@@ -113,26 +119,34 @@ def build(args: Dict[str, Any]):
         raw = args["artifact"]
         paths = ([str(p) for p in raw] if isinstance(raw, (list, tuple))
                  else [p.strip() for p in str(raw).split(",") if p.strip()])
-        hosts = [_artifact_host(p, args, ServingHost) for p in paths]
-        if len(hosts) == 1:
-            hostd = hosts[0]
-        else:
-            # one daemon, one port, N per-probe lengths: requests route
-            # by waveform length (the protocol already carries L)
-            from stofnet_tpu.serving import LengthRouter
+        hosts = []
+        try:
+            for p in paths:
+                hosts.append(_artifact_host(p, args, ServingHost))
+            if len(hosts) == 1:
+                hostd = hosts[0]
+            else:
+                # one daemon, one port, N per-probe lengths: requests
+                # route by waveform length (the protocol carries L)
+                from stofnet_tpu.serving import LengthRouter
 
-            by_length = {}
-            for p, h in zip(paths, hosts):
-                if h.length in by_length:
-                    for built in hosts:  # don't leak dispatcher threads
-                        built.close(timeout=5.0)
-                    raise SystemExit(
-                        f"artifacts {by_length[h.length]} and {p} both "
-                        f"serve length {h.length}; lengths must be "
-                        f"distinct to route by waveform length")
-                by_length[h.length] = p
-            hostd = LengthRouter({h.length: h for h in hosts})
-        return _finish(hostd, args)
+                by_length = {}
+                for p, h in zip(paths, hosts):
+                    if h.length in by_length:
+                        raise SystemExit(
+                            f"artifacts {by_length[h.length]} and {p} "
+                            f"both serve length {h.length}; lengths must "
+                            f"be distinct to route by waveform length")
+                    by_length[h.length] = p
+                hostd = LengthRouter({h.length: h for h in hosts})
+            return _finish(hostd, args)
+        except BaseException:
+            # don't leak dispatcher threads into the embedding process on
+            # ANY failure (missing artifact, duplicate length, warmup
+            # error); close() is idempotent
+            for built in hosts:
+                built.close(timeout=5.0)
+            raise
     if args.get("model_file") or str(args.get("model", "")).lower() == \
             "gradpeak":
         if not args.get("length"):
@@ -171,7 +185,11 @@ def build(args: Dict[str, Any]):
                             max_wait_ms=float(args.get("max_wait_ms", 2.0)),
                             buckets=buckets,
                             max_pending=_max_pending(args))
-        return _finish(hostd, args)
+        try:
+            return _finish(hostd, args)
+        except BaseException:
+            hostd.close(timeout=5.0)
+            raise
     raise SystemExit("artifact=<.jaxexp> or model_file=<ckpt> required")
 
 

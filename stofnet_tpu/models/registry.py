@@ -42,6 +42,7 @@ def build_model(
     th: Optional[float] = None,
     dtype: Any = None,
     semi_global_scale: int = 80,
+    n_layers: Optional[int] = None,  # unet depth; None = 2 if chirp else 10
 ) -> Tuple[Any, Dict[str, Any]]:
     name = name.lower()
     chirp = dataset_kind == "chirp"
@@ -70,7 +71,9 @@ def build_model(
         # driver folds upsampling into input interpolation (main.py:44-46)
         updates["rf_scale_factor"] = rf_scale_factor * upsample_factor
         updates["upsample_factor"] = 1
-        return WaveUnet(n_layers=2 if chirp else 10, channels_interval=16,
+        if n_layers is None:
+            n_layers = 2 if chirp else 10  # main.py:160
+        return WaveUnet(n_layers=int(n_layers), channels_interval=16,
                         dtype=dtype), updates
     if name == "gradpeak":
         updates["evaluate"] = True  # main.py:165

@@ -76,6 +76,11 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     model_name = model_name.lower()
     up = int(overrides.get("upsample_factor", 4))
 
+    def decode(heat, up=up):  # zoo branch overrides (updates force up=1)
+        return mask2coords(heat.astype(jnp.float32),
+                           window_size=window_size, threshold=threshold,
+                           upsample_factor=up, max_echoes=max_echoes)
+
     if model_name != "stofnet":
         if int8_calib is not None or int8_stack_layers:
             raise ValueError("int8 serving targets model=stofnet only "
@@ -97,22 +102,12 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                 return pred.reshape((pred.shape[0], -1)).astype(jnp.float32)
 
             return pipe
-        up = int(updates.get("upsample_factor", up))
-
-        def decode_zoo(heat):
-            return mask2coords(heat.astype(jnp.float32),
-                               window_size=window_size, threshold=threshold,
-                               upsample_factor=up, max_echoes=max_echoes)
+        zoo_up = int(updates.get("upsample_factor", up))
 
         def pipe(x):
-            return decode_zoo(model.apply(variables, x))
+            return decode(model.apply(variables, x), up=zoo_up)
 
         return pipe
-
-    def decode(heat):
-        return mask2coords(heat.astype(jnp.float32),
-                           window_size=window_size, threshold=threshold,
-                           upsample_factor=up, max_echoes=max_echoes)
 
     if int8_calib is not None:
         from stofnet_tpu.models.int8 import (quantize_stofnet,

@@ -165,6 +165,69 @@ def test_cli_export_zoo_model(tmp_path):
         export_main(["model=espcn", "model_file=x", "int8_calib=c.npy"])
 
 
+def test_unet_export_nondefault_depth(tmp_path):
+    """n_layers= must size the CONSTRUCTED WaveUnet, not just the .pth
+    import rewrite — a 4-layer checkpoint exports with n_layers=4 even
+    though dataset_kind=chirp defaults the depth to 2 (regression: the
+    knob used to be import-only, so this died with a param-shape
+    mismatch at trace)."""
+    from stofnet_tpu.cli.export import main as export_main
+    from stofnet_tpu.models.registry import build_model
+    from stofnet_tpu.train.checkpoint import save_checkpoint
+
+    L = 1024
+    model, _ = build_model("unet", n_layers=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, L)))
+    ckpt = tmp_path / "unet4_ckpt"
+    save_checkpoint(ckpt, {"variables": variables})
+
+    out = tmp_path / "unet4.jaxexp"
+    export_main([f"model_file={ckpt}", f"out={out}", "model=unet",
+                 "n_layers=4", "batch=2", f"length={L}", "max_echoes=4",
+                 "th=Null", "platforms=cpu"])
+    served = load_pipeline(out)
+    live = jax.jit(make_pipeline(
+        variables, {"dataset_kind": "chirp", "upsample_factor": 4,
+                    "rf_scale_factor": 10, "n_layers": 4},
+        model_name="unet", max_echoes=4))
+    x = _echo_batch(L)
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(live(jnp.asarray(x))))
+
+
+def test_build_closes_hosts_on_failure(tmp_path):
+    """A failure AFTER some hosts are built (second artifact missing)
+    must not leak dispatcher threads into the embedding process."""
+    import threading
+
+    from stofnet_tpu.cli.serve import build
+    from stofnet_tpu.models import StofNet
+
+    overrides = {"num_features": 16, "semi_global_scale": 8,
+                 "num_blocks": 4}
+    model = StofNet(**overrides)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 800)))
+    blob = export_pipeline(variables, overrides, batch="b", length=800,
+                           platforms=("cpu",))
+    art = save_pipeline(tmp_path / "a.jaxexp", blob)
+
+    before = {t.name for t in threading.enumerate()
+              if "serving-dispatch" in t.name}
+    with pytest.raises(Exception):
+        build({"artifact": f"{art},{tmp_path / 'missing.jaxexp'}",
+               "max_batch": 4})
+    import time as _time
+
+    deadline = _time.monotonic() + 10.0
+    while _time.monotonic() < deadline:
+        after = {t.name for t in threading.enumerate()
+                 if "serving-dispatch" in t.name}
+        if after == before:
+            break
+        _time.sleep(0.05)
+    assert after == before, f"leaked dispatcher threads: {after - before}"
+
+
 def test_gradpeak_export_needs_no_checkpoint(tmp_path):
     """model=gradpeak is parameter-free: the CLI exports it without
     model_file, and the artifact detects a synthetic echo onset."""
