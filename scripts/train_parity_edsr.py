@@ -5,10 +5,18 @@ branch, _pala the PALA protocol; this one proves the method extends to
 the baseline zoo: torch reference ``EDSR_1D`` (main.py:140 config —
 num_features=64, num_blocks=8) and our ``models/edsr1d.py`` train from
 scratch with the reference recipe (AdamW lr 5e-4 wd 1e-8, cosine,
-early-stop patience 5, blurred-mask MSE + 1e-2 L1 — main.py:179-232) on
+blurred-mask MSE + 1e-2 L1 — main.py:179-232) on
 the same synthetic chirp data, then BOTH final models run through OUR
 shared evaluation pipeline (torch weights via the golden-tested .pth
 importer). Distribution-level parity, not bitwise (SURVEY "hard parts").
+
+Early stopping is DISABLED in both frameworks for this family (both
+run the full cosine schedule): EDSR's val loss improves by <1e-3/epoch
+and bounces, so the reference recipe's patience-5 stop turns the
+comparison into a stopping-time lottery (the first r3 run had JAX draw
+a stop at epoch 8 while torch ran all 60, which showed up as a 24-point
+Jaccard gap). Training-DYNAMICS parity is the claim, so both run the
+same schedule.
 
 Writes TRAINPARITY_edsr.md. Run on CPU:
     PALLAS_AXON_POOL_IPS= python scripts/train_parity_edsr.py
@@ -59,8 +67,6 @@ def train_torch(chirp_root, ckpt_dir: Path):
     from stofnet_tpu.data.transforms import (
         AddNoise, Compose, CropChannelData, NormalizeVol,
     )
-    from stofnet_tpu.train.early_stop import EarlyStopping
-
     torch.manual_seed(SEED)
     rng = np.random.default_rng(SEED)
     tf = Compose([NormalizeVol(), CropChannelData(ratio=0.75, rng=rng),
@@ -79,7 +85,6 @@ def train_torch(chirp_root, ckpt_dir: Path):
                                   weight_decay=1e-8)
     scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(optimizer,
                                                            T_max=EPOCHS)
-    early = EarlyStopping(patience=5, delta=1e-6, verbose=None)
     gauss = torch.tensor(gaussian_kernel(size=7, sigma=1),
                          dtype=torch.float32)[None, None]
     mse, l1 = nn.MSELoss(), nn.L1Loss()
@@ -123,8 +128,6 @@ def train_torch(chirp_root, ckpt_dir: Path):
         curve.append((tl / max(len(train_idx), 1), vl))
         epochs_run = e + 1
         log(f"[torch] epoch {e}: train {curve[-1][0]:.4f} val {vl:.4f}")
-        if early(vl):
-            break
 
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"torchref-0000_rf-scale{RF_SCALE}_epoch_{epochs_run}.pth"
@@ -141,7 +144,7 @@ def train_jax(chirp_root, run_dir: Path, ckpt_dir: Path):
                epochs=EPOCHS, batch_size=BATCH, rf_scale_factor=RF_SCALE,
                upsample_factor=UPSAMPLE, max_echoes=8, crop_ratio=0.75,
                snr_db=30, seed=SEED, plot_interval=0, run_dir=str(run_dir),
-               ckpt_dir=str(ckpt_dir))
+               ckpt_dir=str(ckpt_dir), patience=EPOCHS + 1)
     out = run(cfg)
 
     import json
@@ -202,7 +205,9 @@ def main():
         "Companion to TRAINPARITY.md (StofNet), _zonzini (regression) and",
         "_pala (PALA protocol): both frameworks train EDSR-1D from scratch",
         "with the reference recipe (main.py:140 config, blurred-mask MSE +",
-        "1e-2 L1, AdamW lr 5e-4, cosine, early-stop patience 5) on the same",
+        "1e-2 L1, AdamW lr 5e-4, cosine; early stopping disabled in BOTH —",
+        "see the script docstring: patience-5 on EDSR's bouncy val curve is",
+        "a stopping-time lottery, not a dynamics comparison) on the same",
         f"synthetic chirp data (L={SAMPLE_NUM * RF_SCALE}), then evaluate",
         "through the shared pipeline (torch weights via the golden-tested",
         ".pth importer).",
