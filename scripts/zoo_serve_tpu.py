@@ -53,8 +53,11 @@ REF = "ckpt_dir=/root/reference/ckpts"
 CASES = [
     ("edsr", 8000, ["model_file=proud-cherry", REF, "th=Null",
                     "max_echoes=8"], True),
+    # dtype=float32: vital-puddle's sigmoid saturates to EXACT 1.0 over
+    # ~266 bins in bf16 on this input (argmax tie lottery — measured
+    # backend disagreement, agreement 0.0000); f32 has a unique max
     ("espcn", 8000, ["model_file=vital-puddle", REF, "th=Null",
-                     "max_echoes=8"], True),
+                     "max_echoes=8", "dtype=float32"], True),
     ("sincnet", 8000, ["model_file=pretty-brook", REF, "th=Null",
                        "max_echoes=8", "fs=1e5"], True),
     ("unet", 8000, ["model_file={unet_ckpt}", "th=Null", "max_echoes=8"],

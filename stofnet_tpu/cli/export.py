@@ -54,6 +54,11 @@ _KNOWN_KEYS = frozenset({
     # for kuleshov, fs for sincnet, n_layers for unet .pth import)
     "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
     "n_layers",
+    # forward compute dtype: bfloat16 (default) | float32. f32 matters
+    # for saturating activations: vital-puddle ESPCN's sigmoid emits
+    # EXACT-1.0 ties across hundreds of bins in bf16 (argmax knife-edge,
+    # measured backend disagreement on hardware), unique max in f32
+    "dtype",
     # partial-stack int8 serving config (with int8_calib; see
     # serve.make_pipeline): int8_stack=4,8,10 int8_eq_alpha=0.5
     # int8_bias_correct=True
@@ -153,6 +158,21 @@ def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
                                  n_layers=n_layers), overrides)
 
 
+def resolve_dtype(args: Dict[str, Any]):
+    """``dtype=bfloat16|float32`` → jnp dtype (None = the pipeline's
+    bf16 default). f32 matters for saturating activations (see
+    _KNOWN_KEYS note)."""
+    if args.get("dtype") is None:
+        return None
+    import jax.numpy as jnp
+
+    table = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+             "float32": jnp.float32, "f32": jnp.float32}
+    if str(args["dtype"]) not in table:
+        raise SystemExit(f"dtype= must be one of {sorted(table)}")
+    return table[str(args["dtype"])]
+
+
 def load_calib(args: Dict[str, Any]):
     """``int8_calib=<.npy>`` → (B, 1, L) f32 calibration batch or None."""
     if not args.get("int8_calib"):
@@ -196,6 +216,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     model = str(args.get("model") or "stofnet").lower()
     if not args.get("model_file") and model != "gradpeak":
         raise SystemExit("model_file=<ckpt prefix or path> is required")
+    dtype = resolve_dtype(args)
     out = args.get("out") or f"{args.get('model_file') or model}.jaxexp"
 
     from stofnet_tpu.serve import export_pipeline, save_pipeline
@@ -225,7 +246,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     blob = export_pipeline(
         variables, overrides,
         batch, int(args.get("length", 8000)),
-        platforms=platforms, model_name=model,
+        platforms=platforms, model_name=model, dtype=dtype,
         window_size=int(args.get("window_size", 20)),
         threshold=None if th in (None, "Null") else float(th),
         max_echoes=int(args.get("max_echoes", 64)),

@@ -46,6 +46,7 @@ import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 from stofnet_tpu.cli.export import (load_calib, load_stack_cfg, parse_args,
+                                    resolve_dtype,
                                     resolve_variables_and_overrides)
 
 _KNOWN_KEYS = frozenset({
@@ -56,7 +57,7 @@ _KNOWN_KEYS = frozenset({
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
     # whole-zoo serving from a checkpoint (same switch as the exporter)
     "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
-    "n_layers",
+    "n_layers", "dtype",
 })
 
 
@@ -174,6 +175,7 @@ def build(args: Dict[str, Any]):
         th = args.get("th")
         pipeline = jax.jit(make_pipeline(
             variables, overrides, model_name=model,
+            dtype=resolve_dtype(args),
             window_size=int(args.get("window_size", 20)),
             threshold=None if th in (None, "Null") else float(th),
             max_echoes=int(args.get("max_echoes", 64)),

@@ -165,6 +165,36 @@ def test_cli_export_zoo_model(tmp_path):
         export_main(["model=espcn", "model_file=x", "int8_calib=c.npy"])
 
 
+def test_dtype_export_knob(small_ckpt, tmp_path):
+    """dtype=float32 exports an f32-forward artifact (bit-exact vs the
+    live f32 pipeline); needed for saturating activations — ESPCN's
+    sigmoid emits exact-1.0 argmax ties across hundreds of bins in bf16
+    on echo input (measured cross-backend decode disagreement on
+    hardware), unique max in f32. Bad values are refused."""
+    import jax.numpy as jnp2
+
+    from stofnet_tpu.cli.export import main as export_main
+
+    variables, overrides = small_ckpt
+    out = tmp_path / "f32.jaxexp"
+    export_main(["model_file=different-armadillo", f"out={out}",
+                 "dtype=float32", "batch=2", "length=800", "max_echoes=4",
+                 "th=Null", "platforms=cpu"])
+    served = load_pipeline(out)
+
+    from stofnet_tpu.cli.export import resolve_variables_and_overrides
+
+    v, ov = resolve_variables_and_overrides(
+        {"model_file": "different-armadillo"})
+    live = jax.jit(make_pipeline(v, ov, max_echoes=4, dtype=jnp2.float32))
+    x = _echo_batch(800)
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(live(jnp.asarray(x))))
+
+    with pytest.raises(SystemExit, match="dtype"):
+        export_main(["model_file=x", "dtype=float16"])
+
+
 def test_unet_export_nondefault_depth(tmp_path):
     """n_layers= must size the CONSTRUCTED WaveUnet, not just the .pth
     import rewrite — a 4-layer checkpoint exports with n_layers=4 even
