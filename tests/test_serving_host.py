@@ -422,6 +422,16 @@ def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
             want = np.asarray(live_pipeline(x[None, None]))[0]
             np.testing.assert_array_equal(got, want)
             assert b'"requests": 1' in proc.stderr  # live stats round
+
+            # in-band server errors map to the client's distinct exit
+            # code (2) with the message on stderr — here a wrong-length
+            # request
+            bad = subprocess.run(
+                [str(exe), "127.0.0.1", str(port), str(LENGTH // 2)],
+                input=x[:LENGTH // 2].tobytes(), capture_output=True,
+                timeout=120)
+            assert bad.returncode == 2
+            assert b"server error" in bad.stderr
         finally:
             server.shutdown()
             server.server_close()
