@@ -138,6 +138,12 @@ CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_LAST_GOOD.json")
 
 
+# hard process exit that skips interpreter teardown — needed when a
+# watchdogged fetch thread is permanently blocked in the relay's native
+# call (teardown aborts on it); module-level so tests can monkeypatch
+_exit = os._exit
+
+
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
@@ -320,6 +326,15 @@ def respawn_on_failure(fn, mode: str) -> None:
                     f"{str(e)[:200]}")
                 record["measured_at"] = entry.get("measured_at")
                 print(json.dumps(record))
+                if isinstance(e, FetchTimeout):
+                    # the watchdogged fetch thread is still BLOCKED inside
+                    # the relay's native call; normal interpreter teardown
+                    # aborts on that thread (observed 2026-08-19: SIGABRT
+                    # rc=134 AFTER the stale JSON line printed) — the
+                    # record is out, skip teardown entirely
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                    _exit(0)
                 return
             raise
         log(f"re-exec with a fresh chip claim in {PROCESS_BACKOFF_S:.0f}s")

@@ -332,10 +332,17 @@ def test_bench_hang_watchdog(monkeypatch, tmp_path, capsys):
     def outage():
         raise bench.FetchTimeout("gate: still blocked after 720s")
 
+    # a FetchTimeout leaves the watchdogged fetch thread blocked in the
+    # relay's native call, so after printing the stale record the bench
+    # must HARD-exit (os._exit) — normal teardown aborts on that thread
+    # (observed SIGABRT rc=134 after a valid JSON line, 2026-08-19)
+    exits = []
+    monkeypatch.setattr(bench, "_exit", lambda code: exits.append(code))
     bench.respawn_on_failure(outage, "train")
     served = _json.loads(capsys.readouterr().out.strip())
     assert served["stale"] is True and served["value"] == 2802.0
     assert not execs  # no third claim-burn on a hang
+    assert exits == [0]  # teardown skipped, rc=0
 
 
 def test_report_tool_wandb_pull(tmp_path, monkeypatch):
