@@ -11,9 +11,9 @@ layouts/grad steps/intervals), iq2rf and linear upscale (vs the scipy
 recipe), and the StofNet CONFIG SPACE (random architecture options with
 transferred weights vs the live torch model).
 Usage: ``python scripts/fuzz_parity.py [n_decode_trials] [seed]``;
-prints a line per mismatch, exits nonzero if any. Cumulative r3 campaign: >6,300
-trials across 8 seeds, 0 mismatches (known reference truncation bugs
-skipped; latest: 792-trial batches at seeds 20260819/20260820).
+prints a line per mismatch, exits nonzero if any. Cumulative r3 campaign: >7,100
+trials across 9 seeds, 0 mismatches (known reference truncation bugs
+skipped; latest: 792-trial batches at seeds 20260819/20260820/20260821).
 
 r3 campaign results (700 trials): every op matches the reference
 bit-for-bit EXCEPT the reference's own echo_max truncation path, which
