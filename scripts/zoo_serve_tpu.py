@@ -239,11 +239,13 @@ def main():
                         f"({'ok' if good else 'FAIL'}) | {1e3 * s:.1f} |")
         body += [
             "",
-            "zonzini is a continuous per-frame regression (one ToA slot); "
-            "the others decode coords (±1 sample = the serving gate "
-            "convention). gradpeak runs in f32 (no weights — the "
-            "classical detector). Timings are per-call wall time through "
-            "the relay (dispatch-bound at B=8; not a throughput claim).",
+            "espcn is exported f32 (its sigmoid saturates to exact-1.0 "
+            "ties in bf16 — DESIGN.md trap); zonzini is a continuous "
+            "per-frame regression (one ToA slot); the others decode "
+            "coords (±1 sample = the serving gate convention). gradpeak "
+            "runs in f32 (no weights — the classical detector). Timings "
+            "are per-call wall time through the relay (dispatch-bound at "
+            "B=8; not a throughput claim).",
         ]
         with open("/root/repo/docs/ZOO_SERVE_tpu.md", "w") as f:
             f.write("\n".join(body) + "\n")
