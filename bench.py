@@ -48,7 +48,10 @@ a 720 s watchdog (``FETCH_TIMEOUT_S``): every mode's first device contact
 (``setup()``) and every gate/warmup fetch escalate to the belt instead of
 blocking until the driver's kill (a MID-run relay death inside a raw timed
 loop can still hang — accepted: never observed, and watchdogging the timed
-fetches would perturb the measurement). If even the re-exec
+fetches would perturb the measurement). A hang gets ONE re-exec after a
+240 s wedge-recovery sleep (r3 post-mortem: the round-end capture's first
+contact hung >720 s immediately after a builder hardware run — a claim
+wedge a FRESH process claim rides out, not an outage). If even the re-exec
 budget is exhausted (r3 saw a multi-hour relay outage no bounded retry
 can bridge), the last hardware-validated record for the mode is served from
 ``BENCH_LAST_GOOD.json`` with ``stale: true`` + ``stale_reason`` +
@@ -205,14 +208,18 @@ class FetchTimeout(Exception):
 # only fires on real outages.
 FETCH_TIMEOUT_S = float(os.environ.get("STOFNET_BENCH_FETCH_TIMEOUT_S",
                                        "720"))
-# A FetchTimeout means a REAL outage, not a wedge: a wedged claim resolves
-# inside the watchdog window (the blocked fetch simply returns late, well
-# under 720 s), so a fetch still hung after 12 min will not be saved by a
-# fresh claim either. Serve the stale record after the FIRST hang —
-# ~14 min into the run — instead of burning another attempt against an
-# unknown driver timeout. Transient EXCEPTIONS keep the full 3-attempt
-# re-exec budget.
-TIMEOUT_PROCESS_ATTEMPTS = 1
+# r3 ended with BENCH_r03.json stale because the round-end capture's FIRST
+# contact hung >720 s — right after a builder hardware run, i.e. exactly the
+# post-process claim wedge (CLAUDE.md: the next process's first fetch can
+# stall 5-10+ min, and r3 showed it can outlast even the 12-min watchdog).
+# A hang in THIS process cannot be retried in-process (the claim is
+# poisoned), but a FRESH process claim after a wedge-recovery sleep is
+# precisely what rides it out — so a FetchTimeout now gets ONE re-exec
+# (VERDICT r3 #1: ">=2 process attempts with a 120-300 s sleep"). Worst
+# case before the stale fallback: 720 + 240 + 720 s ~ 28 min. Only a
+# second consecutive hang — a real outage, not a wedge — serves stale.
+TIMEOUT_PROCESS_ATTEMPTS = 2
+TIMEOUT_BACKOFF_S = 240.0
 
 
 def _relay_shaped(e: Exception) -> bool:
@@ -337,8 +344,10 @@ def respawn_on_failure(fn, mode: str) -> None:
                     _exit(0)
                 return
             raise
-        log(f"re-exec with a fresh chip claim in {PROCESS_BACKOFF_S:.0f}s")
-        time.sleep(PROCESS_BACKOFF_S)
+        backoff = (TIMEOUT_BACKOFF_S if isinstance(e, FetchTimeout)
+                   else PROCESS_BACKOFF_S)
+        log(f"re-exec with a fresh chip claim in {backoff:.0f}s")
+        time.sleep(backoff)
         os.environ["STOFNET_BENCH_ATTEMPT"] = str(attempt + 1)
         sys.stderr.flush()
         sys.stdout.flush()

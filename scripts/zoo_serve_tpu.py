@@ -201,8 +201,10 @@ def main():
         if name == "zonzini":
             maxd = float(np.max(np.abs(r - g)))
             good = maxd <= 2.0
-            rows.append((name, length, f"max |Δ| {maxd:.3f} samples", good,
-                         secs[name]))
+            # "max abs dev", not "max |Δ|": the verdict lands in a markdown
+            # table cell where unescaped pipes would split the row
+            rows.append((name, length, f"max abs dev {maxd:.3f} samples",
+                         good, secs[name]))
         else:
             agree = float(np.mean(np.abs(r - g) <= 1.0))
             good = agree >= 0.95 if gated else True
@@ -224,9 +226,9 @@ def main():
             f"lowering. Shipped reference checkpoints where they exist; "
             f"unet/kuleshov have no upstream ckpt, so their rows run "
             f"random-init (lowering/execution validation, report-only; "
-            f"kuleshov at L=1600 — its analytic Linear head is ~1.2 B "
-            f"params at L=8000, unservable, presumably why the reference "
-            f"comments it out of sweeps). StofNet's hardware serving "
+            f"kuleshov at L={LENGTHS['kuleshov']} — its analytic Linear "
+            f"head is ~1.2 B params at L=8000, unservable, presumably why "
+            f"the reference comments it out of sweeps). StofNet's hardware "
             f"story is separate (docs/SERVE_DAEMON_tpu.md, bench.py "
             f"--serve/--soak).",
             "",

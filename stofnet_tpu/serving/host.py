@@ -113,6 +113,15 @@ class ServingHost:
         # None = unbounded (the closed-loop default; open-loop producers
         # should set it or the queue grows without bound under overload)
         self._max_pending = None if max_pending is None else int(max_pending)
+        if (self._max_pending is not None
+                and self._max_pending < self.max_batch):
+            # a limit below max_batch would make a legal full-bucket
+            # request permanently unadmittable even on an idle host, with
+            # a misleading "queue full" — reject the config up front
+            raise ValueError(
+                f"max_pending={self._max_pending} < max_batch="
+                f"{self.max_batch}: a full-batch request could never be "
+                f"admitted; raise max_pending to at least max_batch")
         self._pending_rows = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False

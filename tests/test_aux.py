@@ -341,8 +341,18 @@ def test_bench_hang_watchdog(monkeypatch, tmp_path, capsys):
     bench.respawn_on_failure(outage, "train")
     served = _json.loads(capsys.readouterr().out.strip())
     assert served["stale"] is True and served["value"] == 2802.0
-    assert not execs  # no third claim-burn on a hang
+    assert not execs  # budget exhausted: no further claim-burn on a hang
     assert exits == [0]  # teardown skipped, rc=0
+
+    # BELOW the budget, a hang re-execs ONCE with the wedge-recovery sleep
+    # (r3 post-mortem: the round-end capture hung on the post-process claim
+    # wedge, which a fresh process claim rides out) — no stale serve yet
+    assert bench.TIMEOUT_PROCESS_ATTEMPTS >= 2  # VERDICT r3 #1
+    monkeypatch.setenv("STOFNET_BENCH_ATTEMPT", "1")
+    monkeypatch.setattr(bench, "TIMEOUT_BACKOFF_S", 0.0)
+    bench.respawn_on_failure(outage, "train")
+    assert len(execs) == 1 and execs[0][0] == bench.sys.executable
+    assert capsys.readouterr().out.strip() == ""  # nothing served
 
 
 def test_report_tool_wandb_pull(tmp_path, monkeypatch):

@@ -335,6 +335,18 @@ def test_admission_control_rejects_overload():
         host.close()
 
 
+def test_admission_limit_below_max_batch_rejected():
+    """max_pending < max_batch would make a legal full-bucket request
+    permanently unadmittable even on an idle host — the config is
+    rejected at construction, not discovered as a misleading 'queue
+    full' in production (advisor r3)."""
+    with pytest.raises(ValueError, match="max_pending=2 < max_batch=4"):
+        ServingHost(RecordingPipeline(), LENGTH, max_batch=4, max_pending=2)
+    # the boundary (== max_batch) is legal
+    ServingHost(RecordingPipeline(), LENGTH, max_batch=4,
+                max_pending=4).close()
+
+
 def test_admission_control_over_tcp(live_pipeline):
     """An Overloaded rejection reports in-band over TCP; the connection
     and the daemon keep serving (cli max_pending= plumbs through)."""
@@ -342,7 +354,7 @@ def test_admission_control_over_tcp(live_pipeline):
 
     gate = threading.Event()
     pipe = RecordingPipeline(gate=gate)
-    host = ServingHost(pipe, LENGTH, max_batch=2, max_pending=1,
+    host = ServingHost(pipe, LENGTH, max_batch=1, max_pending=1,
                        max_wait_ms=0.0)
     server, _, port = start_server(LengthRouter({LENGTH: host}))
     try:
