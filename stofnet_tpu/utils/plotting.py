@@ -63,9 +63,15 @@ def plot_comparison(channel_data: np.ndarray,
                     toa_labels: Sequence[str],
                     gt_samples: Optional[np.ndarray] = None,
                     zoom_halfwidth: int = 120,
-                    save_path: Optional[str] = None):
+                    save_path=None):
     """One waveform with per-model ToA markers + a zoom inset around the
-    first GT echo (the reference's paper figure, plot_frame.py:9-97)."""
+    first GT echo (the reference's paper figure, plot_frame.py:9-97).
+
+    ``save_path`` may be a single path or a sequence of paths; the format
+    is inferred from each extension, so passing ``["fig.png", "fig.svg",
+    "fig.eps"]`` reproduces the reference's vector exports
+    (plot_frame.py:95-96 saves ``.svg`` + ``.eps``). usetex styling is
+    deliberately not replicated (no TeX toolchain in the image)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -112,7 +118,10 @@ def plot_comparison(channel_data: np.ndarray,
     ax.legend(loc="upper left", fontsize=8)
     fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=150)
+        paths = [save_path] if isinstance(save_path, (str, bytes)) or hasattr(
+            save_path, "__fspath__") else list(save_path)
+        for p in paths:
+            fig.savefig(p, dpi=150)
     return fig
 
 

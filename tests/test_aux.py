@@ -73,6 +73,13 @@ def test_plot_comparison(rng, tmp_path):
                           save_path=str(tmp_path / "cmp.png"))
     assert (tmp_path / "cmp.png").exists()
     assert fig_to_array(fig).ndim == 3
+    # vector-export parity (reference plot_frame.py:95-96 saves svg + eps):
+    # a sequence of paths saves each, format inferred from the extension
+    plot_comparison(wave, [np.array([300.0])], ["stofnet"],
+                    save_path=[str(tmp_path / "cmp.svg"),
+                               str(tmp_path / "cmp.eps")])
+    assert (tmp_path / "cmp.svg").exists() and (tmp_path / "cmp.eps").exists()
+    assert b"<svg" in (tmp_path / "cmp.svg").read_bytes()[:400]
 
 
 def test_profiling_utils():
