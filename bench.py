@@ -111,16 +111,9 @@ def make_gate_batch(batch: int, length: int, rng) -> "np.ndarray":
     measured program is shape-static and streams per-iteration staged
     noise exactly as before (data content does not change the schedule).
     """
-    t = np.arange(length, dtype=np.float32)
-    x = 0.02 * rng.standard_normal((batch, length)).astype(np.float32)
-    pos = rng.uniform(500, length - 500, batch).astype(np.float32)
-    amp = rng.uniform(0.3, 1.0, batch).astype(np.float32)
-    for b in range(batch):
-        env = np.exp(-0.5 * ((t - pos[b]) / 120.0) ** 2)
-        x[b] += amp[b] * env.astype(np.float32) * np.cos(
-            2 * np.pi * 0.012 * (t - pos[b]))
-    x /= np.abs(x).max(axis=-1, keepdims=True)
-    return x[:, None, :].astype(np.float32)
+    from stofnet_tpu.data.synthetic import gate_batch
+
+    return gate_batch(batch, length, rng, margin=500.0)
 V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e (v5 lite) bf16 systolic peak
 # Partial-stack int8 serving config, chosen by the CPU per-layer
 # sensitivity sweep on echo-bearing gate batches

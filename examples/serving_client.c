@@ -6,18 +6,27 @@
  * beyond POSIX sockets.
  *
  *   request  : "SFN1" + uint32 k + uint32 L (LE) + k*L float32 (LE)
- *   response : int32 status + uint32 m (LE)
+ *   compact  : "SFN2" + uint8 wire + uint8 0 + uint32 k + uint32 L (LE)
+ *              wire 1 (bf16): k*L uint16 — the round-to-nearest-even top
+ *                16 bits of each float32 (HALF the request bytes;
+ *                lossless for a bf16-forward artifact)
+ *              wire 2 (int8): per waveform, float32 scale then L int8
+ *                with value = scale*q, scale = max|row|/127 (a QUARTER
+ *                of the bytes; validate decode agreement before shipping)
+ *   response : int32 status + uint32 m (LE) — always float32 coords
  *              status 0: m = E coords per waveform, then k*E float32
  *              status 1: m = UTF-8 error message byte length, then it
  *              status 2: m = UTF-8 JSON byte length, then it (stats)
  *   stats    : "SFNS" (no further header) -> status-2 response
  *
- * Build:  gcc -O2 -o serving_client examples/serving_client.c
- * Run  :  ./serving_client HOST PORT L < waveform.f32
+ * Build:  gcc -O2 -o serving_client examples/serving_client.c -lm
+ * Run  :  ./serving_client HOST PORT L [f32|bf16|int8] < waveform.f32
  *         (reads L little-endian float32 samples from stdin, prints the
- *         decoded coords one per line, then the daemon's live stats)
+ *         decoded coords one per line, then the daemon's live stats;
+ *         the optional 4th arg picks the request wire, default f32)
  */
 #include <arpa/inet.h>
+#include <math.h>
 #include <netdb.h>
 #include <stdint.h>
 #include <stdio.h>
@@ -70,13 +79,31 @@ static uint32_t read_response(int fd, int expect_status) {
     return m;
 }
 
+/* float32 -> bfloat16: round-to-nearest-even truncation to the top 16
+ * bits — the exact rounding an XLA f32->bf16 cast performs */
+static uint16_t f32_to_bf16(float f) {
+    uint32_t u;
+    memcpy(&u, &f, 4);
+    return (uint16_t)((u + 0x7fffu + ((u >> 16) & 1u)) >> 16);
+}
+
 int main(int argc, char **argv) {
-    if (argc != 4) {
-        fprintf(stderr, "usage: %s HOST PORT L  (< L float32 samples)\n",
+    if (argc != 4 && argc != 5) {
+        fprintf(stderr,
+                "usage: %s HOST PORT L [f32|bf16|int8]  (< L f32 samples)\n",
                 argv[0]);
         return 1;
     }
     uint32_t L = (uint32_t)strtoul(argv[3], NULL, 10);
+    uint8_t wire = 0; /* 0 f32, 1 bf16, 2 int8 */
+    if (argc == 5) {
+        if (!strcmp(argv[4], "bf16")) wire = 1;
+        else if (!strcmp(argv[4], "int8")) wire = 2;
+        else if (strcmp(argv[4], "f32")) {
+            fprintf(stderr, "unknown wire %s\n", argv[4]);
+            return 1;
+        }
+    }
 
     struct addrinfo hints = {0}, *ai;
     hints.ai_socktype = SOCK_STREAM;
@@ -99,8 +126,38 @@ int main(int argc, char **argv) {
 
     /* ---- inference round trip (k=1 waveform) ---- */
     uint32_t hdr[2] = {1u, L}; /* little-endian host assumed (x86/arm) */
-    if (write_exact(fd, "SFN1", 4) || write_exact(fd, hdr, 8) ||
-        write_exact(fd, wave, 4ull * L)) {
+    int send_err;
+    if (wire == 0) {
+        send_err = write_exact(fd, "SFN1", 4) || write_exact(fd, hdr, 8) ||
+                   write_exact(fd, wave, 4ull * L);
+    } else {
+        uint8_t hdr2[10] = {wire, 0};
+        memcpy(hdr2 + 2, hdr, 8);
+        send_err = write_exact(fd, "SFN2", 4) || write_exact(fd, hdr2, 10);
+        if (!send_err && wire == 1) { /* bf16: top 16 bits, RNE */
+            uint16_t *h = malloc(2ull * L);
+            for (uint32_t i = 0; i < L; i++) h[i] = f32_to_bf16(wave[i]);
+            send_err = write_exact(fd, h, 2ull * L);
+            free(h);
+        } else if (!send_err) { /* int8: f32 scale + L int8 per waveform */
+            float amax = 0.f;
+            for (uint32_t i = 0; i < L; i++) {
+                float a = wave[i] < 0 ? -wave[i] : wave[i];
+                if (a > amax) amax = a;
+            }
+            float scale = amax > 0.f ? amax / 127.f : 1.f;
+            int8_t *q = malloc(L);
+            for (uint32_t i = 0; i < L; i++) {
+                float v = wave[i] / scale;
+                v = v < -127.f ? -127.f : (v > 127.f ? 127.f : v);
+                /* round half to even like rint() under the default mode */
+                q[i] = (int8_t)lrintf(v);
+            }
+            send_err = write_exact(fd, &scale, 4) || write_exact(fd, q, L);
+            free(q);
+        }
+    }
+    if (send_err) {
         perror("send");
         return 1;
     }

@@ -1,5 +1,4 @@
-"""Daemon throughput with BATCHED clients: does the serving layer cost
-anything over the raw host-fed floor?
+"""Daemon throughput with BATCHED clients, per request-wire encoding.
 
 bench.py's load curves drive SINGLE-waveform clients (the latency
 shape: 356 wf/s at 128 clients, relay dispatch-rate bound) and its
@@ -11,9 +10,16 @@ between those two numbers: closed-loop clients submitting FULL
 full bucket, so the measured wf/s is the serving stack's best case and
 should land at the host-fed floor if the daemon adds ~nothing.
 
+r4 adds the REQUEST WIRE dimension (serving/tcp.py SFN2): the serving
+path was measured transfer-bound, and the f32 wire ships 4 MB per
+(128, 8000) request for a pipeline that quantizes to int8 anyway. The
+probe now measures f32 / bf16 (half the bytes) / int8 (a quarter) wires
+back to back through ONE daemon, each behind the same 0.99 coordinate-
+agreement gate as every quantization step (within 1 sample vs the f32
+wire, echo-bearing data — docs/DESIGN.md calibration trap).
+
 ONE TPU process (the daemon, int8-SGB artifact — the served headline
-path); CPU-only clients. Appends the result to docs/SERVING.md's
-numbers via docs/SERVE_BATCHED_tpu.md.
+path); CPU-only clients. Rewrites docs/SERVE_BATCHED_tpu.md.
 
 Smoke: ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 python scripts/serve_batched_tpu.py --smoke``.
@@ -39,7 +45,8 @@ PORT = 17739 if SMOKE else 17738
 L = 8000
 K = 128           # waveforms per request = one full bucket
 CLIENTS = 4
-SECONDS = 10 if SMOKE else 45
+SECONDS = 5 if SMOKE else 45
+WIRES = ("f32", "bf16", "int8")
 
 
 def log(msg):
@@ -93,41 +100,57 @@ def main():
 
         x = np.asarray(make_gate_batch(K, L, rng), np.float32)[:, 0]
 
-        # warm the full-bucket path once before timing
+        # warm the full-bucket path + coordinate-agreement gates: each
+        # compact wire must agree with the f32 wire within 1 sample on
+        # ≥99% of coords (echo-bearing data, the standard quant gate)
         with ServingClient(("127.0.0.1", PORT), timeout=600.0) as w:
-            w.infer(x)
+            ref_coords = w.infer(x)
+        agreement = {"f32": 1.0}
+        for wire in WIRES[1:]:
+            with ServingClient(("127.0.0.1", PORT), timeout=600.0,
+                               wire=wire) as c:
+                coords = c.infer(x)
+            agreement[wire] = float(np.mean(np.abs(coords - ref_coords)
+                                            <= 1.0))
+            log(f"{wire} wire coord agreement vs f32: {agreement[wire]:.4f}")
 
-        counts = [0] * CLIENTS
-        stop = threading.Event()
+        results = {}
+        for wire in WIRES:
+            counts = [0] * CLIENTS
+            stop = threading.Event()
 
-        def client(i):
-            with ServingClient(("127.0.0.1", PORT), timeout=600.0) as c:
-                while not stop.is_set():
-                    c.infer(x)
-                    counts[i] += 1
+            def client(i, wire=wire):
+                with ServingClient(("127.0.0.1", PORT), timeout=600.0,
+                                   wire=wire) as c:
+                    while not stop.is_set():
+                        c.infer(x)
+                        counts[i] += 1
 
-        threads = [threading.Thread(target=client, args=(i,), daemon=True)
-                   for i in range(CLIENTS)]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        time.sleep(SECONDS)
-        stop.set()
-        for t in threads:
-            t.join(timeout=600)
-        elapsed = time.perf_counter() - t0
-        wf = sum(counts) * K
-        wf_s = wf / elapsed
+            threads = [threading.Thread(target=client, args=(i,),
+                                        daemon=True)
+                       for i in range(CLIENTS)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            time.sleep(SECONDS)
+            stop.set()
+            for t in threads:
+                t.join(timeout=600)
+            elapsed = time.perf_counter() - t0
+            wf_s = sum(counts) * K / elapsed
+            results[wire] = round(wf_s, 1)
+            log(f"[{wire}] {CLIENTS} clients x ({K}, {L}) requests: "
+                f"{sum(counts) * K} waveforms in {elapsed:.1f} s -> "
+                f"{wf_s:.1f} wf/s")
+
         with ServingClient(("127.0.0.1", PORT)) as c:
             stats = c.stats()
-        log(f"{CLIENTS} clients x ({K}, {L}) requests: {wf} waveforms in "
-            f"{elapsed:.1f} s -> {wf_s:.1f} wf/s "
-            f"(occupancy {stats['occupancy']:.3f})")
-
         daemon.send_signal(signal.SIGTERM)
         rc = daemon.wait(timeout=180)
         drained = "served:" in daemon.stderr.read()
-        ok = rc == 0 and drained and wf_s > 0
+        gates_ok = all(agreement[w] >= 0.99 for w in WIRES[1:])
+        ok = (rc == 0 and drained and all(v > 0 for v in results.values())
+              and gates_ok)
 
         if not SMOKE:
             body = f"""# Batched-client daemon throughput on hardware
@@ -135,28 +158,34 @@ def main():
 {time.strftime('%Y-%m-%d')}: {CLIENTS} closed-loop TCP clients each
 submitting FULL ({K}, {L}) requests to the int8-SGB artifact daemon
 (max_batch={K}; every request rides one full bucket), {SECONDS} s
-steady state.
+steady state per request wire (serving/tcp.py SFN2 encodings).
 
-| metric | value |
-|---|---|
-| throughput | {wf_s:.1f} wf/s |
-| occupancy (real/padded rows) | {stats['occupancy']:.3f} |
-| bench.py host_fed_wf_s (raw host->device floor, no serving layer) | 430-780 (per-run relay load) |
-| bench.py --serve, 128 single-waveform clients | ~356 wf/s |
+| request wire | bytes/request | throughput | coord agreement vs f32 |
+|---|---|---|---|
+| f32 (SFN1) | {4 * K * L / 1e6:.1f} MB | {results['f32']:.1f} wf/s | exact |
+| bf16 | {2 * K * L / 1e6:.1f} MB | {results['bf16']:.1f} wf/s | {agreement['bf16']:.4f} |
+| int8 (per-waveform scale) | {K * (4 + L) / 1e6:.1f} MB | {results['int8']:.1f} wf/s | {agreement['int8']:.4f} |
 
-Read (measured 2026-08-19: 1019.6 wf/s): with batched requests the
-daemon EXCEEDS bench.py's single-stream host-fed number by ~1.3-2x —
-concurrent in-flight requests overlap the relay's host->device transfer
-with device compute, which the sequential host-fed measurement cannot.
-The serving layer costs nothing measurable; pipelined batched clients
-are the way to drive the transfer-bound path. On-device-resident
-streams are the 14.2k wf/s headline.
+Context: bench.py host_fed_wf_s (raw host->device floor, no serving
+layer) 430-780 per-run relay load; bench.py --serve with 128
+single-waveform clients ~356 wf/s; occupancy this run
+{stats['occupancy']:.3f}.
+
+Read: batched requests overlap the relay's host->device transfer with
+device compute, so the daemon exceeds the sequential host-fed number
+(r3 measured 1,019.6 wf/s on the f32 wire). The compact wires shrink
+the client->daemon TCP leg (the agreement gate makes them shippable:
+bf16 is absorbed by the model's own input cast, int8 mirrors the
+int8-SGB path's per-waveform activation quantization). The
+daemon->device relay leg still ships f32 — the relay transfer cap, not
+the TCP leg, remains the serving ceiling; the wire saves client
+bandwidth and helps when the daemon runs remote from its clients.
 """
             with open("/root/repo/docs/SERVE_BATCHED_tpu.md", "w") as f:
                 f.write(body)
             log("wrote docs/SERVE_BATCHED_tpu.md")
 
-        print({"ok": ok, "wf_s": round(wf_s, 1),
+        print({"ok": ok, "wf_s": results, "agreement": agreement,
                "occupancy": stats["occupancy"], "rc": rc,
                "drained": drained})
         sys.exit(0 if ok else 1)

@@ -21,6 +21,33 @@ DEFAULT_SPECS = {
 }
 
 
+def gate_batch(batch: int, length: int, rng,
+               margin: Optional[float] = None) -> np.ndarray:
+    """Echo-bearing parity-gate batch: ONE gaussian-windowed tone echo
+    per waveform (σ=120 RF samples, carrier 0.012 cyc/sample — the
+    trained chirp distribution at rf_scale=10) at a random position/SNR
+    over a noise floor, max-normalized like the serving inputs.
+
+    This is the standard in-distribution probe every quantization /
+    dtype decision gates on (bench.py's 0.99 coordinate-agreement gates
+    delegate here; see its docstring for why noise-only gate batches
+    measure tie-breaking luck instead of localization). ``margin`` keeps
+    echo centers away from the edges (default 500 samples, shrunk for
+    short waveforms so the generator works at any length ≥ 8)."""
+    if margin is None:
+        margin = min(500.0, length / 4.0)
+    t = np.arange(length, dtype=np.float32)
+    x = 0.02 * rng.standard_normal((batch, length)).astype(np.float32)
+    pos = rng.uniform(margin, length - margin, batch).astype(np.float32)
+    amp = rng.uniform(0.3, 1.0, batch).astype(np.float32)
+    for b in range(batch):
+        env = np.exp(-0.5 * ((t - pos[b]) / 120.0) ** 2)
+        x[b] += amp[b] * env.astype(np.float32) * np.cos(
+            2 * np.pi * 0.012 * (t - pos[b]))
+    x /= np.abs(x).max(axis=-1, keepdims=True)
+    return x[:, None, :].astype(np.float32)
+
+
 def _chirp_iq(n: int, fs: float, center: float, width: float,
               bw: float = 30e3, amp: float = 1.0) -> np.ndarray:
     """Baseband gaussian-windowed linear chirp centered at sample ``center``."""

@@ -138,6 +138,37 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     return pipe
 
 
+def probe_dtype_agreement(variables: Dict[str, Any],
+                          overrides: Dict[str, Any], *, length: int,
+                          model_name: str = "stofnet", batch: int = 16,
+                          seed: int = 3008, **pipe_kwargs) -> float:
+    """Decode-agreement probe for the export-time dtype gate: the bf16
+    and f32 pipelines run the same in-distribution echo batch
+    (data/synthetic.gate_batch) and the returned fraction of coords
+    agreeing within 1 sample decides whether bf16 is safe to ship.
+
+    Exists because of a measured hardware trap (docs/ZOO_SERVE_tpu.md):
+    a saturating activation can emit EXACT-1.0 ties across hundreds of
+    bins in bf16 (vital-puddle ESPCN's sigmoid, ~266 tied bins), turning
+    the per-channel-max decode into an argmax lottery — TPU-vs-CPU
+    agreement 0.0000 while every other family held ≥0.98. The same tie
+    knife-edge shows up as bf16-vs-f32 disagreement on CPU, which is
+    what this probe measures (no device needed at export time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.data.synthetic import gate_batch
+
+    x = jnp.asarray(gate_batch(batch, length, np.random.default_rng(seed)))
+    coords = {}
+    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        pipe = jax.jit(make_pipeline(variables, overrides,
+                                     model_name=model_name, dtype=dtype,
+                                     **pipe_kwargs))
+        coords[name] = np.asarray(pipe(x))
+    return float(np.mean(np.abs(coords["bf16"] - coords["f32"]) <= 1.0))
+
+
 def export_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                     batch: int | str, length: int,
                     *, platforms: Sequence[str] = ("cpu", "tpu"),

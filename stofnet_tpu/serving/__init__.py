@@ -11,7 +11,9 @@ actually earns its throughput), and results fan back out per request.
 
 from stofnet_tpu.serving.host import Overloaded, ServingHost, batch_buckets
 from stofnet_tpu.serving.router import LengthRouter
-from stofnet_tpu.serving.tcp import ServingClient, ServingTCPServer, start_server
+from stofnet_tpu.serving.tcp import (WIRE_CODES, ServingClient,
+                                     ServingTCPServer, decode_payload,
+                                     encode_rows, start_server)
 
 __all__ = [
     "ServingHost",
@@ -21,4 +23,7 @@ __all__ = [
     "ServingClient",
     "ServingTCPServer",
     "start_server",
+    "WIRE_CODES",
+    "encode_rows",
+    "decode_payload",
 ]

@@ -5,6 +5,16 @@ wire). A stdlib-only length-prefixed binary protocol — deliberately
 boring, so any language can speak it without a codegen step:
 
 request  : magic ``b"SFN1"`` + ``<II`` (k, L) + k*L float32 (LE)
+request 2: magic ``b"SFN2"`` + ``<BBII`` (wire, reserved, k, L) + payload
+           wire 0: k*L float32 (same rows as SFN1)
+           wire 1: k*L bfloat16 (the round-to-nearest-even top 16 bits
+                   of each float32, LE uint16) — HALF the request bytes;
+                   lossless for a bf16-forward artifact, whose first op
+                   performs the identical cast anyway
+           wire 2: per waveform: 1 float32 scale + L int8 (value =
+                   scale * q, scale = max|row|/127) — a QUARTER of the
+                   request bytes; mirrors the int8-SGB path's own dynamic
+                   per-waveform activation quantization (models/int8.py)
 response : ``<iI``  (status, m)
            status 0: m = E (coords per waveform), then k*E float32
            status 1: m = byte length of a UTF-8 error message, then it
@@ -14,6 +24,14 @@ stats    : magic ``b"SFNS"`` (no further header) → status-2 response with
            the host's live stats (occupancy, latency percentiles, bucket
            counts; per-length when the daemon routes several artifacts) —
            production monitoring without stopping the daemon
+
+Responses stay float32 regardless of the request wire: coords are sample
+indices up to L*upsample, and bfloat16's 8-bit mantissa would corrupt an
+index ≥256 by up to 32 samples at L=8000 — the response is tiny (k*E
+floats) so there is nothing to win. Compaction targets the request
+payload, which dominates the wire (a (128, 8000) request is 4 MB f32,
+2 MB bf16, 1 MB int8 — measured against the relay's transfer-bound
+serving ceiling in docs/SERVE_BATCHED_tpu.md).
 
 A connection carries any number of request/response cycles (connection
 reuse amortizes the TCP handshake at high request rates); requests from
@@ -36,12 +54,70 @@ import numpy as np
 from stofnet_tpu.serving.host import ServingHost
 
 MAGIC = b"SFN1"
+MAGIC2 = b"SFN2"
 STATS_MAGIC = b"SFNS"
 _REQ_HDR = struct.Struct("<II")
+_REQ2_HDR = struct.Struct("<BBII")
 _RSP_HDR = struct.Struct("<iI")
 # sanity bound on k*L so a corrupt/hostile header cannot make the server
 # attempt a multi-GB read (128 Mi samples = 512 MB payload)
 _MAX_SAMPLES = 128 * 1024 * 1024
+
+WIRE_F32, WIRE_BF16, WIRE_INT8 = 0, 1, 2
+WIRE_CODES = {"f32": WIRE_F32, "bf16": WIRE_BF16, "int8": WIRE_INT8}
+
+
+def payload_nbytes(wire: int, k: int, length: int) -> int:
+    """Request payload size in bytes for ``wire`` (see module docstring)."""
+    if wire == WIRE_F32:
+        return 4 * k * length
+    if wire == WIRE_BF16:
+        return 2 * k * length
+    if wire == WIRE_INT8:
+        return k * (4 + length)
+    raise ValueError(f"unknown wire code {wire}")
+
+
+def encode_rows(rows: np.ndarray, wire: int) -> bytes:
+    """(k, L) float32 rows → request payload bytes for ``wire``."""
+    rows = np.ascontiguousarray(rows, "<f4")
+    if wire == WIRE_F32:
+        return rows.tobytes()
+    if wire == WIRE_BF16:
+        u = rows.view("<u4")
+        # round-to-nearest-even truncation to the top 16 bits — the exact
+        # rounding an XLA f32→bf16 cast performs, so a bf16-forward
+        # artifact sees bit-identical inputs either way
+        h = ((u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
+             >> np.uint32(16)).astype("<u2")
+        return h.tobytes()
+    if wire == WIRE_INT8:
+        k, length = rows.shape
+        amax = np.max(np.abs(rows), axis=-1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype("<f4")
+        q = np.clip(np.rint(rows / scale[:, None]), -127, 127).astype(np.int8)
+        buf = np.empty((k, 4 + length), np.uint8)
+        buf[:, :4] = scale.view(np.uint8).reshape(k, 4)
+        buf[:, 4:] = q.view(np.uint8)
+        return buf.tobytes()
+    raise ValueError(f"unknown wire code {wire}")
+
+
+def decode_payload(payload: bytes, wire: int, k: int, length: int
+                   ) -> np.ndarray:
+    """Request payload bytes → (k, 1, L) float32 waveforms."""
+    if wire == WIRE_F32:
+        x = np.frombuffer(payload, "<f4")
+    elif wire == WIRE_BF16:
+        h = np.frombuffer(payload, "<u2").astype("<u4")
+        x = (h << np.uint32(16)).view("<f4")
+    elif wire == WIRE_INT8:
+        buf = np.frombuffer(payload, np.uint8).reshape(k, 4 + length)
+        scale = buf[:, :4].copy().view("<f4")
+        x = buf[:, 4:].view(np.int8).astype("<f4") * scale
+    else:
+        raise ValueError(f"unknown wire code {wire}")
+    return x.reshape(k, 1, length)
 
 
 def _recv_exact(sock_file, n: int) -> Optional[bytes]:
@@ -68,20 +144,30 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.write(_RSP_HDR.pack(2, len(data)) + data)
                 self.wfile.flush()
                 continue
-            if magic != MAGIC:
+            if magic == MAGIC2:
+                head = _recv_exact(self.rfile, _REQ2_HDR.size)
+                if head is None:
+                    raise ConnectionError("EOF inside request header")
+                wire, _reserved, k, length = _REQ2_HDR.unpack(head)
+                if wire not in (WIRE_F32, WIRE_BF16, WIRE_INT8):
+                    self._send_error(f"unknown wire code {wire}")
+                    return  # payload length unknown; framing is lost
+            elif magic == MAGIC:
+                head = _recv_exact(self.rfile, _REQ_HDR.size)
+                if head is None:
+                    raise ConnectionError("EOF inside request header")
+                wire = WIRE_F32
+                k, length = _REQ_HDR.unpack(head)
+            else:
                 self._send_error(f"bad magic {magic!r}")
                 return  # framing is lost; drop the connection
-            head = _recv_exact(self.rfile, _REQ_HDR.size)
-            if head is None:
-                raise ConnectionError("EOF inside request header")
-            k, length = _REQ_HDR.unpack(head)
             if not (1 <= k * length <= _MAX_SAMPLES):
                 self._send_error(f"refusing request of {k}x{length} samples")
                 return
-            payload = _recv_exact(self.rfile, 4 * k * length)
+            payload = _recv_exact(self.rfile, payload_nbytes(wire, k, length))
             if payload is None:
                 raise ConnectionError("EOF inside request payload")
-            x = np.frombuffer(payload, "<f4").reshape(k, 1, length)
+            x = decode_payload(payload, wire, k, length)
             try:
                 out = np.asarray(self.server.host.infer(x), "<f4")
             except Exception as e:  # noqa: BLE001 — report, keep serving
@@ -119,9 +205,20 @@ def start_server(host: ServingHost, address: Tuple[str, int] = ("127.0.0.1", 0)
 
 class ServingClient:
     """Blocking client for the protocol above. One in-flight request per
-    client; open one client per concurrent caller (or pool them)."""
+    client; open one client per concurrent caller (or pool them).
 
-    def __init__(self, address: Tuple[str, int], timeout: float = 120.0):
+    ``wire``: request payload encoding — ``"f32"`` (default; speaks the
+    original SFN1 frame bit-for-bit), ``"bf16"`` (half the request bytes;
+    lossless for bf16-forward artifacts), or ``"int8"`` (a quarter;
+    per-waveform scaled — validate decode agreement on YOUR data before
+    shipping, same gate as any quantization). Responses are always f32."""
+
+    def __init__(self, address: Tuple[str, int], timeout: float = 120.0,
+                 wire: str = "f32"):
+        if wire not in WIRE_CODES:
+            raise ValueError(f"wire must be one of {sorted(WIRE_CODES)}, "
+                             f"got {wire!r}")
+        self._wire = WIRE_CODES[wire]
         self._sock = socket.create_connection(address, timeout=timeout)
         self._f = self._sock.makefile("rwb")
 
@@ -131,7 +228,13 @@ class ServingClient:
         squeeze = x.ndim == 1
         rows = x.reshape((1, -1) if squeeze else (x.shape[0], -1))
         k, length = rows.shape
-        self._f.write(MAGIC + _REQ_HDR.pack(k, length) + rows.tobytes())
+        if self._wire == WIRE_F32:
+            # the original frame — kept bit-identical so every existing
+            # client of the SFN1 protocol stays valid
+            self._f.write(MAGIC + _REQ_HDR.pack(k, length) + rows.tobytes())
+        else:
+            self._f.write(MAGIC2 + _REQ2_HDR.pack(self._wire, 0, k, length)
+                          + encode_rows(rows, self._wire))
         self._f.flush()
         head = _recv_exact(self._f, _RSP_HDR.size)
         if head is None:

@@ -418,7 +418,7 @@ def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
     if cmd[0] is None:
         pytest.skip("no C compiler available")
     exe = tmp_path / "serving_client"
-    subprocess.run([*cmd, "-o", str(exe), str(src)], check=True)
+    subprocess.run([*cmd, "-o", str(exe), str(src), "-lm"], check=True)
 
     with ServingHost(live_pipeline, LENGTH, max_batch=4) as host:
         server, _, port = start_server(host)
@@ -435,6 +435,28 @@ def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
             np.testing.assert_array_equal(got, want)
             assert b'"requests": 1' in proc.stderr  # live stats round
 
+            # compact wires: bf16 is absorbed by the pipeline's own bf16
+            # input cast (bit-exact vs f32); int8's C encoder matches the
+            # python codec sample for sample (lrintf under the default
+            # FE_TONEAREST mode == np.rint), so the decoded coords equal
+            # the pipeline on the python round-tripped payload
+            from stofnet_tpu.serving import decode_payload, encode_rows
+            from stofnet_tpu.serving.tcp import WIRE_INT8
+
+            for wire_name, wire_want in (
+                    ("bf16", want),
+                    ("int8", np.asarray(live_pipeline(decode_payload(
+                        encode_rows(x[None], WIRE_INT8), WIRE_INT8, 1,
+                        LENGTH)))[0])):
+                p = subprocess.run(
+                    [str(exe), "127.0.0.1", str(port), str(LENGTH),
+                     wire_name],
+                    input=x.tobytes(), capture_output=True, check=True,
+                    timeout=120)
+                got_w = np.array([float(v) for v in p.stdout.split()],
+                                 np.float32)
+                np.testing.assert_array_equal(got_w, wire_want)
+
             # in-band server errors map to the client's distinct exit
             # code (2) with the message on stderr — here a wrong-length
             # request
@@ -444,6 +466,107 @@ def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
                 timeout=120)
             assert bad.returncode == 2
             assert b"server error" in bad.stderr
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+def test_wire_codecs_roundtrip():
+    """SFN2 payload codecs (serving/tcp.py): f32 is bit-exact; bf16 is
+    the round-to-nearest-even f32→bf16 cast exactly (so a bf16-forward
+    artifact sees bit-identical inputs either way) and is idempotent;
+    int8 is per-waveform scaled with error ≤ scale/2 and zero rows exact."""
+    from stofnet_tpu.serving import decode_payload, encode_rows
+    from stofnet_tpu.serving.tcp import (WIRE_BF16, WIRE_F32, WIRE_INT8,
+                                         payload_nbytes)
+
+    rng = np.random.default_rng(11)
+    k, length = 5, 256
+    rows = (rng.standard_normal((k, length)) *
+            10.0 ** rng.integers(-3, 4, (k, 1))).astype(np.float32)
+    rows[3] = 0.0  # all-zero waveform: int8 scale guard
+
+    for wire in (WIRE_F32, WIRE_BF16, WIRE_INT8):
+        payload = encode_rows(rows, wire)
+        assert len(payload) == payload_nbytes(wire, k, length)
+        back = decode_payload(payload, wire, k, length)
+        assert back.shape == (k, 1, length) and back.dtype == np.float32
+
+    np.testing.assert_array_equal(
+        decode_payload(encode_rows(rows, WIRE_F32), WIRE_F32, k, length),
+        rows[:, None])
+
+    # bf16: exact parity with the XLA cast, and encode∘decode idempotent
+    back16 = decode_payload(encode_rows(rows, WIRE_BF16), WIRE_BF16, k,
+                            length)
+    want16 = np.asarray(jnp.asarray(rows).astype(jnp.bfloat16),
+                        np.float32)[:, None]
+    np.testing.assert_array_equal(back16, want16)
+    assert encode_rows(back16[:, 0], WIRE_BF16) == encode_rows(rows,
+                                                               WIRE_BF16)
+
+    back8 = decode_payload(encode_rows(rows, WIRE_INT8), WIRE_INT8, k,
+                           length)[:, 0]
+    step = np.max(np.abs(rows), axis=-1, keepdims=True) / 127.0
+    assert np.all(np.abs(back8 - rows) <= np.maximum(step / 2, 0) + 1e-9)
+    np.testing.assert_array_equal(back8[3], 0.0)
+
+
+def test_compact_wire_over_tcp():
+    """The SFN2 frames round-trip through a live server: the response for
+    each wire equals the pipeline applied to that wire's decoded payload
+    (the server is transparent to the encoding), and an unknown wire code
+    errors in-band."""
+    import socket
+    import struct
+
+    from stofnet_tpu.serving import decode_payload, encode_rows
+    from stofnet_tpu.serving.tcp import WIRE_BF16, WIRE_INT8
+
+    pipe = RecordingPipeline()
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((3, LENGTH)).astype(np.float32)
+    with ServingHost(pipe, LENGTH, max_batch=4) as host:
+        server, _, port = start_server(host)
+        try:
+            for wire_name, wire in (("bf16", WIRE_BF16), ("int8", WIRE_INT8)):
+                with ServingClient(("127.0.0.1", port),
+                                   wire=wire_name) as c:
+                    got = c.infer(x)
+                want = decode_payload(encode_rows(x, wire), wire, 3,
+                                      LENGTH)[:, 0, :ECHOES]
+                np.testing.assert_array_equal(got, want)
+            # f32 over SFN1 (the default) is bit-exact end to end
+            with ServingClient(("127.0.0.1", port)) as c:
+                np.testing.assert_array_equal(c.infer(x), x[:, :ECHOES])
+            # unknown wire code → in-band error frame
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=30.0) as s:
+                s.sendall(b"SFN2" + struct.pack("<BBII", 9, 0, 1, LENGTH))
+                head = s.recv(8, socket.MSG_WAITALL)
+                status, m = struct.unpack("<iI", head)
+                assert status == 1
+                assert b"unknown wire" in s.recv(m, socket.MSG_WAITALL)
+            with pytest.raises(ValueError, match="wire must be"):
+                ServingClient(("127.0.0.1", port), wire="f16")
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+def test_bf16_wire_lossless_for_bf16_artifact(live_pipeline):
+    """The serving pipeline's forward IS bf16 (make_pipeline default), so
+    the bf16 wire's RNE cast is absorbed by the model's own input cast:
+    coords over the bf16 wire equal the f32-wire coords bit for bit —
+    half the request bytes for free on the default serving config."""
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((4, LENGTH)).astype(np.float32)
+    with ServingHost(live_pipeline, LENGTH, max_batch=4) as host:
+        server, _, port = start_server(host)
+        try:
+            with ServingClient(("127.0.0.1", port)) as c32, \
+                    ServingClient(("127.0.0.1", port), wire="bf16") as c16:
+                np.testing.assert_array_equal(c16.infer(x), c32.infer(x))
         finally:
             server.shutdown()
             server.server_close()
