@@ -6,8 +6,20 @@ main.py:291-347); see ``stofnet_tpu/serve.py`` for the design. Usage::
     python -m stofnet_tpu.cli.export model_file=different-armadillo \
         out=stofnet_b128.jaxexp batch=128 length=8000 [th=Null]
         [ckpt_dir=...] [platforms=cpu,tpu] [max_echoes=64] [window_size=20]
+        [dtype=auto|bfloat16|float32]
         [int8_calib=x.npy [int8_stack=4,8,10] [int8_eq_alpha=0.5]
          [int8_bias_correct=True]]
+
+``dtype=auto`` (the default) self-checks: a bf16-vs-f32 decode-agreement
+probe on in-distribution echoes picks bf16 when agreement >= 0.99 and
+falls back to float32 with a loud note otherwise (the measured ESPCN
+bf16-saturation trap, docs/ZOO_SERVE_tpu.md).
+
+``bake_weights=False`` exports the weights AS INPUTS (StableHLO body =
+program text only, params ride a ``<out>.weights.npz`` sidecar that
+``load_pipeline`` auto-detects) — for large models whose baked body
+floors the artifact size (kuleshov's ~35 M-param schedule → 163 MB at
+L=800; the relay remote-compile refuses ~290 MB bodies).
 
 The WHOLE model zoo exports, mirroring the reference's one-switch
 benchmark (main.py:133-167): ``model=edsr|espcn|sincnet|unet|kuleshov``
@@ -54,15 +66,24 @@ _KNOWN_KEYS = frozenset({
     # for kuleshov, fs for sincnet, n_layers for unet .pth import)
     "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
     "n_layers",
-    # forward compute dtype: bfloat16 (default) | float32. f32 matters
-    # for saturating activations: vital-puddle ESPCN's sigmoid emits
-    # EXACT-1.0 ties across hundreds of bins in bf16 (argmax knife-edge,
-    # measured backend disagreement on hardware), unique max in f32
+    # forward compute dtype: auto (default) | bfloat16 | float32. auto
+    # runs a bf16-vs-f32 decode-agreement probe on in-distribution
+    # echoes (serve.probe_dtype_agreement) and falls back to f32 with a
+    # loud note when agreement < 0.99. The trap it guards (measured on
+    # hardware): vital-puddle ESPCN's sigmoid emits EXACT-1.0 ties
+    # across hundreds of bins in bf16 (argmax knife-edge, TPU-vs-CPU
+    # agreement 0.0000), unique max in f32
     "dtype",
     # partial-stack int8 serving config (with int8_calib; see
     # serve.make_pipeline): int8_stack=4,8,10 int8_eq_alpha=0.5
     # int8_bias_correct=True
     "int8_stack", "int8_eq_alpha", "int8_bias_correct",
+    # bake_weights=False: weights-AS-INPUTS export (StableHLO body takes
+    # the params tree as arguments + a <out>.weights.npz sidecar) — for
+    # large models whose baked body floors the artifact (kuleshov 163 MB
+    # at L=800; the relay remote-compile 413s ~290 MB bodies). Default
+    # True (self-contained single file).
+    "bake_weights",
     # architecture overrides (win over params-tree inference — needed
     # where the architecture is not recoverable from shapes, e.g. a
     # non-default semi_global_scale pooling factor)
@@ -159,18 +180,47 @@ def resolve_zoo_variables_and_overrides(args: Dict[str, Any], model: str):
 
 
 def resolve_dtype(args: Dict[str, Any]):
-    """``dtype=bfloat16|float32`` → jnp dtype (None = the pipeline's
-    bf16 default). f32 matters for saturating activations (see
-    _KNOWN_KEYS note)."""
-    if args.get("dtype") is None:
-        return None
+    """``dtype=auto|bfloat16|float32`` → jnp dtype, or the string
+    ``"auto"`` when unset/auto (the exporter then runs the decode-
+    agreement probe and picks). f32 matters for saturating activations
+    (see _KNOWN_KEYS note)."""
+    if args.get("dtype") in (None, "auto"):
+        return "auto"
     import jax.numpy as jnp
 
     table = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
              "float32": jnp.float32, "f32": jnp.float32}
     if str(args["dtype"]) not in table:
-        raise SystemExit(f"dtype= must be one of {sorted(table)}")
+        raise SystemExit(f"dtype= must be one of {sorted(table)} or auto")
     return table[str(args["dtype"])]
+
+
+def apply_dtype_gate(dtype, variables, overrides, *, model_name: str,
+                     length: int, **pipe_kwargs):
+    """Self-checking dtype gate (shared by the exporter and the
+    checkpoint-serving daemon): when ``dtype`` is ``"auto"``, probe
+    bf16-vs-f32 decode agreement on in-distribution echoes
+    (serve.probe_dtype_agreement) and only ship bf16 when it clears the
+    same 0.99 bar every quantization decision gates on; otherwise fall
+    back to float32 with a loud stderr note. An explicit dtype passes
+    through untouched (user pinned it)."""
+    if dtype != "auto":
+        return dtype
+    from stofnet_tpu.serve import probe_dtype_agreement
+
+    agree = probe_dtype_agreement(variables, overrides, length=length,
+                                  model_name=model_name, **pipe_kwargs)
+    if agree >= 0.99:
+        print(f"dtype gate: bf16 OK (bf16-vs-f32 decode agreement "
+              f"{agree:.4f} >= 0.99)", file=sys.stderr)
+        return None  # the pipeline's bf16 default
+    import jax.numpy as jnp
+
+    print(f"dtype gate FIRED: bf16-vs-f32 decode agreement {agree:.4f} "
+          f"< 0.99 on in-distribution echoes -> serving float32 "
+          f"(saturating-activation argmax trap, docs/ZOO_SERVE_tpu.md). "
+          f"Pass dtype=bfloat16 to override.", file=sys.stderr)
+    return jnp.float32
 
 
 def load_calib(args: Dict[str, Any]):
@@ -238,24 +288,40 @@ def main(argv: Optional[List[str]] = None) -> str:
     # requantization scales; the quantized state is baked in. Use
     # echo-bearing waveforms (docs/DESIGN.md calibration trap).
     calib = load_calib(args)
+    stack_cfg = load_stack_cfg(args)
+    length = int(args.get("length", 8000))
+    threshold = None if th in (None, "Null") else float(th)
+    max_echoes = int(args.get("max_echoes", 64))
+    window_size = int(args.get("window_size", 20))
+    dtype = apply_dtype_gate(dtype, variables, overrides, model_name=model,
+                             length=length, window_size=window_size,
+                             threshold=threshold, max_echoes=max_echoes,
+                             int8_calib=calib, **stack_cfg)
     # batch=b (any non-numeric name) exports ONE batch-polymorphic
     # artifact via jax.export symbolic shapes; an int pins the batch
     batch = args.get("batch", 128)
     batch = str(batch) if isinstance(batch, str) and not str(
         batch).isdigit() else int(batch)
-    blob = export_pipeline(
-        variables, overrides,
-        batch, int(args.get("length", 8000)),
-        platforms=platforms, model_name=model, dtype=dtype,
-        window_size=int(args.get("window_size", 20)),
-        threshold=None if th in (None, "Null") else float(th),
-        max_echoes=int(args.get("max_echoes", 64)),
-        int8_calib=calib, **load_stack_cfg(args))
-    p = save_pipeline(out, blob)
+    pipe_kwargs = dict(platforms=platforms, model_name=model, dtype=dtype,
+                       window_size=window_size, threshold=threshold,
+                       max_echoes=max_echoes, int8_calib=calib, **stack_cfg)
+    if args.get("bake_weights", True):
+        blob = export_pipeline(variables, overrides, batch, length,
+                               **pipe_kwargs)
+        weights = None
+        note = "weights baked in"
+    else:
+        from stofnet_tpu.serve import export_pipeline_weightless
+
+        blob, weights = export_pipeline_weightless(variables, overrides,
+                                                   batch, length,
+                                                   **pipe_kwargs)
+        note = f"weights-as-inputs + {out}.weights.npz sidecar"
+    p = save_pipeline(out, blob, weights=weights)
     print(f"exported {p} ({len(blob) / 1e6:.2f} MB, model={model}, "
           f"platforms={','.join(platforms)}, "
-          f"input=({args.get('batch', 128)}, 1, {args.get('length', 8000)}) "
-          f"f32)", file=sys.stderr)
+          f"input=({args.get('batch', 128)}, 1, {length}) f32, {note})",
+          file=sys.stderr)
     return str(p)
 
 

@@ -45,7 +45,8 @@ import sys
 import threading
 from typing import Any, Dict, List, Optional, Tuple
 
-from stofnet_tpu.cli.export import (load_calib, load_stack_cfg, parse_args,
+from stofnet_tpu.cli.export import (apply_dtype_gate, load_calib,
+                                    load_stack_cfg, parse_args,
                                     resolve_dtype,
                                     resolve_variables_and_overrides)
 
@@ -173,13 +174,20 @@ def build(args: Dict[str, Any]):
             variables, overrides = resolve_zoo_variables_and_overrides(
                 args, model)
         th = args.get("th")
-        pipeline = jax.jit(make_pipeline(
-            variables, overrides, model_name=model,
-            dtype=resolve_dtype(args),
+        pipe_kwargs = dict(
             window_size=int(args.get("window_size", 20)),
             threshold=None if th in (None, "Null") else float(th),
             max_echoes=int(args.get("max_echoes", 64)),
-            int8_calib=load_calib(args), **load_stack_cfg(args)))
+            int8_calib=load_calib(args), **load_stack_cfg(args))
+        # dtype=auto (the default) self-checks bf16 decode agreement and
+        # falls back to f32 when the gate fires — same gate as the
+        # exporter (cli/export.apply_dtype_gate)
+        dtype = apply_dtype_gate(resolve_dtype(args), variables, overrides,
+                                 model_name=model,
+                                 length=int(args["length"]), **pipe_kwargs)
+        pipeline = jax.jit(make_pipeline(
+            variables, overrides, model_name=model, dtype=dtype,
+            **pipe_kwargs))
         max_batch = int(args.get("max_batch", 128))
         pipeline, buckets = _mesh_adjust(pipeline, args, None, max_batch)
         hostd = ServingHost(pipeline, int(args["length"]),

@@ -193,24 +193,122 @@ def export_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     return exp.serialize()
 
 
-def save_pipeline(path: str | Path, blob: bytes) -> Path:
+def _flatten_tree(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Nested dict-of-arrays → flat ``a/b/c`` keys (sidecar .npz layout).
+    Only plain nested mappings are supported — exactly what every
+    checkpoint importer here produces (params trees mirror torch names,
+    CLAUDE.md conventions)."""
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if hasattr(v, "items"):
+            out.update(_flatten_tree(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in flat:
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return out
+
+
+def _to_plain_dict(tree: Any) -> Any:
+    """FrozenDict/Mapping → plain nested dict, so the exported calling
+    convention's pytree structure is reproducible at load time from the
+    sidecar alone (no flax import needed on the serving host)."""
+    if hasattr(tree, "items"):
+        return {k: _to_plain_dict(v) for k, v in tree.items()}
+    return tree
+
+
+def export_pipeline_weightless(
+        variables: Dict[str, Any], overrides: Dict[str, Any],
+        batch: int | str, length: int,
+        *, platforms: Sequence[str] = ("cpu", "tpu"),
+        **pipe_kwargs) -> Tuple[bytes, Dict[str, Any]]:
+    """Weights-AS-INPUTS export: returns ``(blob, weights)`` where the
+    StableHLO body takes the params tree as arguments instead of baking
+    it in as constants, and ``weights`` is the plain-dict tree to save as
+    the artifact's sidecar (``save_pipeline(path, blob, weights=...)``).
+
+    Why this exists (measured, docs/ZOO_SERVE_tpu.md): baked weights
+    inflate the artifact BODY — kuleshov's ~35 M-param conv schedule
+    floors the file at 163 MB even at L=800, and the axon relay's
+    remote-compile refuses ~290 MB bodies outright (HTTP 413). With
+    weights as inputs the body carries only program text (a few MB);
+    the weights ride the normal host→device data path at load time.
+
+    int8 exports keep baking (the quantized state is precomputed from
+    the calibration batch; its tree is not a plain params dict)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if (pipe_kwargs.get("int8_calib") is not None
+            or pipe_kwargs.get("int8_stack_layers")):
+        raise ValueError("bake_weights=False does not compose with int8 "
+                         "exports (the quantized state is baked by "
+                         "design); drop int8_calib or bake the weights")
+    if isinstance(batch, str):
+        batch = jexport.symbolic_shape(batch)[0]
+    weights = _to_plain_dict(variables)
+
+    def pipe_w(variables, x):
+        return make_pipeline(variables, overrides, **pipe_kwargs)(x)
+
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), weights)
+    exp = jexport.export(jax.jit(pipe_w), platforms=tuple(platforms))(
+        var_specs, jax.ShapeDtypeStruct((batch, 1, length), jnp.float32))
+    return exp.serialize(), weights
+
+
+def save_pipeline(path: str | Path, blob: bytes,
+                  weights: Optional[Dict[str, Any]] = None) -> Path:
+    """Write the artifact; with ``weights`` (a weightless export's params
+    tree) also write the ``<path>.weights.npz`` sidecar that
+    ``load_pipeline`` auto-detects."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(blob)
+    if weights is not None:
+        np.savez(str(path) + ".weights.npz", **_flatten_tree(weights))
     return path
 
 
 def load_pipeline(path: str | Path):
     """Deserialize an exported artifact; returns a callable
     ``f(x) -> coords`` (jit-compiles for the local backend on first call).
-    No model code or checkpoint needed."""
+    No model code or checkpoint needed.
+
+    A ``<path>.weights.npz`` sidecar (weightless export,
+    ``export_pipeline_weightless``) is detected automatically and closed
+    over — callers see the identical ``f(x) -> coords`` contract either
+    way, and ``in_avals`` stays the waveform input alone (the serving
+    daemon reads the contract from it, cli/serve.py)."""
     from jax import export as jexport
 
     exp = jexport.deserialize(Path(path).read_bytes())
+    sidecar = Path(str(path) + ".weights.npz")
+    if sidecar.exists():
+        with np.load(sidecar) as z:
+            weights = _unflatten_tree({k: z[k] for k in z.files})
 
-    def call(x):
-        return exp.call(x)
+        def call(x):
+            return exp.call(weights, x)
 
-    call.in_avals = exp.in_avals
+        call.in_avals = (exp.in_avals[-1],)
+    else:
+        def call(x):
+            return exp.call(x)
+
+        call.in_avals = exp.in_avals
     call.platforms = exp.platforms
     return call

@@ -195,6 +195,60 @@ def test_dtype_export_knob(small_ckpt, tmp_path):
         export_main(["model_file=x", "dtype=float16"])
 
 
+def test_dtype_auto_gate(tmp_path, capfd):
+    """dtype=auto (the default) self-checks bf16 decode agreement on
+    in-distribution echoes (serve.probe_dtype_agreement) and falls back
+    to f32 when it misses the 0.99 bar. Measured CPU probe values this
+    gate encodes: stofnet/armadillo 0.996-0.999 (bf16 ships), EDSR 1.0,
+    vital-puddle ESPCN 0.0000 (the hardware saturation trap,
+    docs/ZOO_SERVE_tpu.md), zonzini 0.19 (bf16's 8-bit mantissa
+    quantizes a direct-regression ToA head to ~16-32-sample steps at
+    ToA >= 2048 — f32 is genuinely safer there, a second trap class the
+    gate catches)."""
+    from stofnet_tpu.cli.export import apply_dtype_gate, main as export_main
+    from stofnet_tpu.cli.export import (resolve_variables_and_overrides,
+                                        resolve_zoo_variables_and_overrides)
+    from stofnet_tpu.serve import probe_dtype_agreement
+
+    # pass path: the flagship trained checkpoint clears the gate
+    v, ov = resolve_variables_and_overrides(
+        {"model_file": "different-armadillo"})
+    assert probe_dtype_agreement(v, ov, length=800) >= 0.99
+    assert apply_dtype_gate("auto", v, ov, model_name="stofnet",
+                            length=800) is None  # bf16 default
+    assert "bf16 OK" in capfd.readouterr().err
+
+    # fire path, real trap: vital-puddle ESPCN's sigmoid saturates in
+    # bf16 (exact-1.0 argmax ties) — the probe sees it on CPU with no
+    # device, and the CLI exports f32 (bit-equal to the f32 pipeline)
+    zv, zov = resolve_zoo_variables_and_overrides(
+        {"model_file": "vital-puddle", "dataset_kind": "chirp"}, "espcn")
+    assert probe_dtype_agreement(zv, zov, length=8000,
+                                 model_name="espcn") < 0.99
+    assert apply_dtype_gate("auto", zv, zov, model_name="espcn",
+                            length=8000) == jnp.float32
+    assert "dtype gate FIRED" in capfd.readouterr().err
+
+    # explicit dtype skips the probe entirely
+    assert apply_dtype_gate(jnp.bfloat16, zv, zov, model_name="espcn",
+                            length=8000) == jnp.bfloat16
+    assert capfd.readouterr().err == ""
+
+    # end to end through the CLI: an auto export of the espcn checkpoint
+    # equals the explicit-f32 export bit for bit
+    out_auto = tmp_path / "espcn_auto.jaxexp"
+    export_main(["model_file=vital-puddle", f"out={out_auto}",
+                 "model=espcn", "batch=2", "length=8000", "max_echoes=4",
+                 "th=Null", "platforms=cpu"])
+    assert "dtype gate FIRED" in capfd.readouterr().err
+    served = load_pipeline(out_auto)
+    live = jax.jit(make_pipeline(zv, zov, model_name="espcn", max_echoes=4,
+                                 dtype=jnp.float32))
+    x = _echo_batch(8000)
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(live(jnp.asarray(x))))
+
+
 def test_unet_export_nondefault_depth(tmp_path):
     """n_layers= must size the CONSTRUCTED WaveUnet, not just the .pth
     import rewrite — a 4-layer checkpoint exports with n_layers=4 even
@@ -212,9 +266,11 @@ def test_unet_export_nondefault_depth(tmp_path):
     save_checkpoint(ckpt, {"variables": variables})
 
     out = tmp_path / "unet4.jaxexp"
+    # dtype pinned: this test asserts bit-equality vs the bf16 live
+    # pipeline; the auto gate could legitimately pick f32 on random init
     export_main([f"model_file={ckpt}", f"out={out}", "model=unet",
                  "n_layers=4", "batch=2", f"length={L}", "max_echoes=4",
-                 "th=Null", "platforms=cpu"])
+                 "th=Null", "platforms=cpu", "dtype=bfloat16"])
     served = load_pipeline(out)
     live = jax.jit(make_pipeline(
         variables, {"dataset_kind": "chirp", "upsample_factor": 4,
@@ -334,6 +390,70 @@ def test_host_serves_regression_artifact(tmp_path):
         np.testing.assert_array_equal(got, want)
     finally:
         host.close()
+
+
+def test_weightless_export_roundtrip(small_ckpt, tmp_path):
+    """bake_weights=False (weights-as-inputs export): the body carries
+    program text only (smaller than the baked artifact), the params ride
+    a .weights.npz sidecar load_pipeline auto-detects, coords equal the
+    baked export bit for bit, in_avals stays the waveform contract (the
+    daemon reads it), and the host serves it unchanged. Exists for large
+    models whose baked body floors the artifact (kuleshov 163 MB at
+    L=800, relay 413s ~290 MB bodies — docs/ZOO_SERVE_tpu.md)."""
+    from stofnet_tpu.serve import export_pipeline_weightless
+    from stofnet_tpu.serving import ServingHost
+
+    variables, overrides = small_ckpt
+    baked = export_pipeline(variables, overrides, batch="b", length=800,
+                            max_echoes=4, platforms=("cpu",))
+    blob, weights = export_pipeline_weightless(
+        variables, overrides, batch="b", length=800, max_echoes=4,
+        platforms=("cpu",))
+    assert len(blob) < len(baked)
+    out = tmp_path / "wl.jaxexp"
+    save_pipeline(out, blob, weights=weights)
+    assert (tmp_path / "wl.jaxexp.weights.npz").exists()
+
+    served = load_pipeline(out)
+    (aval,) = served.in_avals  # waveform contract alone, not the tree
+    assert aval.shape[1:] == (1, 800)
+    served_baked = load_pipeline(save_pipeline(tmp_path / "baked.jaxexp",
+                                               baked))
+    x = _echo_batch(800)
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(x))),
+                                  np.asarray(served_baked(jnp.asarray(x))))
+
+    with ServingHost(served, length=800, max_batch=4) as host:
+        got = host.submit(x[0, 0]).result(timeout=60.0)
+        np.testing.assert_array_equal(
+            got, np.asarray(served(jnp.asarray(x[:1])))[0])
+
+    # int8 exports keep baking by design (quantized state, not a params
+    # tree)
+    with pytest.raises(ValueError, match="int8"):
+        export_pipeline_weightless(
+            variables, overrides, batch=1, length=800,
+            int8_calib=np.zeros((1, 1, 800), np.float32))
+
+
+def test_cli_weightless_export(tmp_path):
+    """cli.export bake_weights=False end to end on the reference
+    checkpoint: sidecar written, artifact equals the baked CLI export."""
+    from stofnet_tpu.cli.export import main as export_main
+
+    outs = {}
+    for name, extra in (("baked", []), ("wl", ["bake_weights=False"])):
+        out = tmp_path / f"{name}.jaxexp"
+        export_main([f"model_file=different-armadillo", f"out={out}",
+                     "batch=2", "length=800", "max_echoes=4", "th=Null",
+                     "platforms=cpu", "dtype=bfloat16", *extra])
+        outs[name] = out
+    assert (tmp_path / "wl.jaxexp.weights.npz").exists()
+    assert (outs["wl"].stat().st_size < outs["baked"].stat().st_size)
+    x = jnp.asarray(_echo_batch(800))
+    np.testing.assert_array_equal(
+        np.asarray(load_pipeline(outs["wl"])(x)),
+        np.asarray(load_pipeline(outs["baked"])(x)))
 
 
 def test_int8_export_roundtrip(small_ckpt, tmp_path):
