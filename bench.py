@@ -1264,13 +1264,18 @@ def serve_soak() -> None:
         t.start()
 
     windows = []
-    prev = host.stats()["waveforms"]
+    win_disp_ms, win_occ = [], []  # per-window device ms/batch, occupancy
+    snap = host.stats()
+    prev = snap["waveforms"]
+    prev_disp, prev_batches = snap["dispatch_time_s"], snap["batches"]
+    prev_padded = snap["padded"]
     for m in range(minutes):
         t0 = time.perf_counter()
         while time.perf_counter() < t0 + 60.0 and not stop.is_set():
             time.sleep(0.5)
         dt = time.perf_counter() - t0
-        cur = host.stats()["waveforms"]
+        snap = host.stats()
+        cur = snap["waveforms"]
         # budget check FIRST: a deterministic serving bug blows the error
         # budget within one window and must keep rc=1 (RuntimeError is not
         # _relay_shaped) — only an error-free stall is relay-shaped
@@ -1283,9 +1288,22 @@ def serve_soak() -> None:
             raise FetchTimeout(f"soak window {m + 1} made no progress "
                                f"({len(errors)} client errors)")
         windows.append(round((cur - prev) / dt, 1))
-        log(f"soak window {m + 1}/{minutes}: {windows[-1]:.1f} wf/s "
+        # per-window DEVICE-call time (queue wait excluded) + occupancy:
+        # the sag-attribution instrumentation VERDICT r3 #2 asked for — a
+        # sagging window with RISING device ms/batch is relay/chip-side;
+        # flat device time with falling wf/s is host/client-side
+        d_batches = snap["batches"] - prev_batches
+        win_disp_ms.append(round(
+            1e3 * (snap["dispatch_time_s"] - prev_disp) / max(d_batches, 1),
+            2))
+        d_padded = snap["padded"] - prev_padded
+        win_occ.append(round((cur - prev) / d_padded, 3) if d_padded else 0.0)
+        log(f"soak window {m + 1}/{minutes}: {windows[-1]:.1f} wf/s, "
+            f"device {win_disp_ms[-1]:.1f} ms/batch over {d_batches} "
+            f"batches, occupancy {win_occ[-1]:.3f} "
             f"({len(errors)} errors so far)")
-        prev = cur
+        prev, prev_disp = cur, snap["dispatch_time_s"]
+        prev_batches, prev_padded = snap["batches"], snap["padded"]
         if stop.is_set():
             break
 
@@ -1304,6 +1322,8 @@ def serve_soak() -> None:
                 f"({clients_n} closed-loop clients, L={LENGTH})",
         "vs_baseline": round(float(np.mean(windows)) / BASELINE_WF_S, 2),
         "soak_windows_wf_s": windows,
+        "soak_window_dispatch_ms": win_disp_ms,
+        "soak_window_occupancy": win_occ,
         "soak_drift": round(windows[-1] / windows[0], 3) if windows else None,
         "soak_client_errors": len(errors),
         "soak_p50_ms": round(s.get("latency_p50_ms", 0.0), 2),

@@ -30,9 +30,14 @@ sys.path.insert(0, str(REPO))
 SEED = 3008
 TRAIN_SEQS = [0, 1]
 EVAL_SEQS = [2]
-DATA = Path("/tmp/pala_synth_r3")
-CKPTS = REPO / "ckpts"
-EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+# --smoke: tiny dataset + 1 epoch on CPU — validates the train->sweep
+# plumbing (incl. the trained-here EDSR rows) without the hardware run
+SMOKE = "--smoke" in sys.argv
+if SMOKE:
+    sys.argv.remove("--smoke")
+DATA = Path("/tmp/pala_synth_smoke" if SMOKE else "/tmp/pala_synth_r3")
+CKPTS = REPO / ("ckpts_smoke" if SMOKE else "ckpts")
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else (1 if SMOKE else 25)
 
 
 def log(msg):
@@ -47,30 +52,45 @@ def main():
     from stofnet_tpu.utils.config import load_config
 
     if not (DATA / "pala_config.yaml").exists():
-        generate_pala_dataset(DATA, n_sequences=3, n_frames=30, n_angles=2,
-                              n_channels=16, n_samples=400, n_targets=3,
-                              seed=SEED)
+        if SMOKE:
+            generate_pala_dataset(DATA, n_sequences=3, n_frames=8,
+                                  n_angles=2, n_channels=8, n_samples=100,
+                                  n_targets=2, seed=SEED)
+        else:
+            generate_pala_dataset(DATA, n_sequences=3, n_frames=30,
+                                  n_angles=2, n_channels=16, n_samples=400,
+                                  n_targets=3, seed=SEED)
     log(f"dataset at {DATA}")
 
-    # 1) train StofNet from scratch on the synthetic train sequences
-    #    (protocol shape: rf_scale=20 -> L=8000, ch_gap default 32)
-    cfg = load_config(DEFAULT_CONFIG)
-    cfg.update(data_dir=str(DATA), evaluate=False, model="stofnet",
-               sequences=TRAIN_SEQS, epochs=EPOCHS, batch_size=4,
-               rf_scale_factor=20, max_echoes=8, snr_db=30, seed=SEED,
-               plot_interval=0, run_dir=str(REPO / "runs_pala_train"),
-               ckpt_dir=str(CKPTS))
-    out = run(cfg)
-    ckpt = Path(out["checkpoint"])
-    log(f"trained-here checkpoint: {ckpt}")
+    # 1) train StofNet AND EDSR from scratch on the synthetic train
+    #    sequences (protocol shape: rf_scale=20 -> L=8000, ch_gap default
+    #    32). Two trained-here families make the held-out table an actual
+    #    model comparison (VERDICT r3 #5) instead of one quality row among
+    #    protocol-smoke reference-ckpt rows.
+    ckpts = {}
+    for fam in ("stofnet", "edsr"):
+        cfg = load_config(DEFAULT_CONFIG)
+        cfg.update(data_dir=str(DATA), evaluate=False, model=fam,
+                   sequences=TRAIN_SEQS, epochs=EPOCHS,
+                   batch_size=2 if SMOKE else 4,
+                   rf_scale_factor=20, max_echoes=8, snr_db=30, seed=SEED,
+                   plot_interval=0,
+                   run_dir=str(REPO / f"runs_pala_train_{fam}"),
+                   ckpt_dir=str(CKPTS))
+        out = run(cfg)
+        ckpts[fam] = Path(out["checkpoint"])
+        log(f"trained-here {fam} checkpoint: {ckpts[fam]}")
+    ckpt = ckpts["stofnet"]
 
-    # 2) both sweeps: reference rows + the trained-here row (the rat
+    # 2) both sweeps: reference rows + the trained-here rows (the rat
     #    protocol's th=1/ch_gap=1/etol=2 arrive via SWEEP_OVERRIDES)
     for sweep_name, extra_row_th in (("pala", None), ("rat", 1.0)):
-        # trained-here quality row + the same ckpt through the int8 serving
-        # path (CLI int8=True) as a quantized-quality row
+        # trained-here quality rows (both families) + the stofnet ckpt
+        # through the int8 serving path (CLI int8=True) as a
+        # quantized-quality row
         rows = list(SWEEPS[sweep_name]) + [
             ["stofnet", ckpt.name, extra_row_th],
+            ["edsr", ckpts["edsr"].name, extra_row_th],
             ["stofnet", ckpt.name, extra_row_th, {"int8": True}]]
         scfg = load_config(DEFAULT_CONFIG)
         scfg.update(data_dir=str(DATA), sequences=EVAL_SEQS,

@@ -132,6 +132,13 @@ class ServingHost:
             "bucket_counts": {b: 0 for b in self._buckets},
         }
         self._latencies: deque = deque(maxlen=4096)
+        # per-batch DEVICE call durations (the pipeline call alone, queue
+        # wait excluded) — lets a soak attribute a throughput sag:
+        # device ms/batch rising with flat host overhead = relay/chip-
+        # side; flat device time with falling throughput = host/client-
+        # side (VERDICT r3 #2, docs/SOAK_r3b.json)
+        self._dispatch_s = 0.0
+        self._dispatch_samples: deque = deque(maxlen=4096)
         self._thread = threading.Thread(
             target=self._dispatch_loop, daemon=True,
             name="stofnet-serving-dispatch")
@@ -181,11 +188,21 @@ class ServingHost:
             s["bucket_counts"] = dict(self._stats["bucket_counts"])
             s["pending"] = self._pending_rows
             lat = sorted(self._latencies)
+            s["dispatch_time_s"] = self._dispatch_s
+            disp = sorted(self._dispatch_samples)
         s["occupancy"] = (s["waveforms"] / s["padded"]) if s["padded"] else 0.0
         if lat:
             s["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
             s["latency_p99_ms"] = 1e3 * lat[min(len(lat) - 1,
                                                 int(len(lat) * 0.99))]
+        if disp:
+            # device-call time alone (queue wait excluded); cumulative
+            # dispatch_time_s + batches let callers compute per-window
+            # means — window deltas attribute a throughput sag to the
+            # device/relay vs the host (bench.py --soak)
+            s["dispatch_p50_ms"] = 1e3 * disp[len(disp) // 2]
+            s["dispatch_p99_ms"] = 1e3 * disp[min(len(disp) - 1,
+                                                  int(len(disp) * 0.99))]
         return s
 
     def close(self, timeout: Optional[float] = 60.0) -> None:
@@ -271,6 +288,7 @@ class ServingHost:
         if bucket > n:
             rows = np.concatenate(
                 [rows, np.zeros((bucket - n, 1, self.length), np.float32)])
+        t_pipe = self._timer()
         try:
             out = np.asarray(self._pipeline(rows))
         except Exception as e:  # noqa: BLE001 — fan the failure out
@@ -281,6 +299,7 @@ class ServingHost:
                 r.future.set_exception(e)
             return
         done = self._timer()
+        dispatch = done - t_pipe
         i = 0
         for r in batch:
             k = r.rows.shape[0]
@@ -294,3 +313,5 @@ class ServingHost:
             self._stats["bucket_counts"][bucket] += 1
             self._pending_rows -= n
             self._latencies.extend(done - r.t_submit for r in batch)
+            self._dispatch_s += dispatch
+            self._dispatch_samples.append(dispatch)
