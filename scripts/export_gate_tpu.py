@@ -1,0 +1,239 @@
+"""Hardware validation of the r4 export features (VERDICT r3 #6/#7).
+
+Two export-time features landed CPU-proven this round; this script puts
+both on the real chip in ONE TPU process:
+
+1. ``dtype=auto`` gate (cli/export.py apply_dtype_gate): exports run with
+   the DEFAULT dtype — the gate must FIRE on espcn vital-puddle (the
+   measured bf16 sigmoid-saturation argmax trap, docs/ZOO_SERVE_tpu.md)
+   and pass bf16 on stofnet different-armadillo + edsr proud-cherry. The
+   auto-chosen artifacts then run on the chip and must agree with their
+   own cpu lowering (coords within ±1 sample on >=95% of slots, the zoo
+   gate bar).
+2. ``bake_weights=False`` (weights-as-inputs export): kuleshov at L=1600
+   — whose BAKED body measures ~290 MB and is refused by the relay's
+   remote-compile endpoint (HTTP 413, docs/ZOO_SERVE_tpu.md) — exports a
+   ~0.03 MB program body + a .weights.npz sidecar, and must now load and
+   EXECUTE on the chip (random-init ckpt: report-only agreement like the
+   zoo probe's ungated rows, but execution itself is the unblock being
+   proven).
+
+Writes docs/EXPORT_GATE_tpu.md. Reference anchor: the reference has no
+export/serving story (main.py:291-347 is in-process eval); kuleshov head
+arithmetic at models/kuleshov.py:59,63-112.
+
+Smoke on CPU: ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+python scripts/export_gate_tpu.py --smoke`` (device phase also on cpu).
+NB: run the orchestrator itself CPU-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SMOKE = "--smoke" in sys.argv
+TAG = "smoke" if SMOKE else "tpu"
+B = 8
+REF = "ckpt_dir=/root/reference/ckpts"
+KULESHOV_L = 1600
+
+# (name, L, export args, gate expectation: "fired" | "bf16" | None)
+CASES = [
+    ("stofnet", 8000, ["model_file=different-armadillo", REF, "th=Null",
+                       "max_echoes=8"], "bf16"),
+    ("edsr", 8000, ["model_file=proud-cherry", REF, "th=Null",
+                    "max_echoes=8"], "bf16"),
+    ("espcn", 8000, ["model_file=vital-puddle", REF, "th=Null",
+                     "max_echoes=8"], "fired"),
+    ("kuleshov", KULESHOV_L, ["model_file={kuleshov_ckpt}", "th=Null",
+                              "max_echoes=8",
+                              f"sample_num={KULESHOV_L // 10}",
+                              "bake_weights=False"], None),
+]
+LENGTHS = {n: length for n, length, _, _ in CASES}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def art_path(name):
+    return f"/tmp/gate_{name}_{TAG}.jaxexp"
+
+
+def main():
+    env_cpu = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env_dev = (env_cpu if SMOKE else
+               dict(os.environ, PALLAS_AXON_POOL_IPS="127.0.0.1",
+                    JAX_PLATFORMS="axon"))
+
+    # 0) random-init kuleshov ckpt at L=1600 (no upstream weights; the
+    #    reference comments kuleshov out of its sweeps)
+    init_src = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import jax, jax.numpy as jnp, shutil\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from stofnet_tpu.models.registry import build_model\n"
+        "from stofnet_tpu.train.checkpoint import save_checkpoint\n"
+        f"model, _ = build_model('kuleshov', sample_num={KULESHOV_L // 10})\n"
+        f"v = model.init(jax.random.key(0), jnp.zeros((1, 1, {KULESHOV_L})))\n"
+        f"path = '/tmp/gate_kuleshov_init{KULESHOV_L}_{TAG}'\n"
+        "shutil.rmtree(path, ignore_errors=True)\n"
+        "save_checkpoint(path, {'variables': v})\n")
+    subprocess.run([sys.executable, "-c", init_src], check=True,
+                   env=env_cpu, cwd="/root/repo", timeout=900)
+    subst = {"kuleshov_ckpt": f"/tmp/gate_kuleshov_init{KULESHOV_L}_{TAG}"}
+
+    # 1) exports, dtype UNSET (=auto): the gate's own stderr is the
+    #    pass/fire evidence
+    gate_notes = {}
+    for name, length, extra, expect in CASES:
+        extra = [a.format(**subst) if "{" in a else a for a in extra]
+        r = subprocess.run(
+            [sys.executable, "-m", "stofnet_tpu.cli.export",
+             f"model={name}", f"out={art_path(name)}", "batch=b",
+             f"length={length}", "platforms=cpu,tpu", *extra],
+            check=True, env=env_cpu, cwd="/root/repo", timeout=1800,
+            stderr=subprocess.PIPE, text=True)
+        fired = "dtype gate FIRED" in r.stderr
+        passed = "dtype gate: bf16 OK" in r.stderr
+        frac = [ln for ln in r.stderr.splitlines() if "dtype gate" in ln]
+        gate_notes[name] = frac[0].strip() if frac else "(no gate line)"
+        size = os.path.getsize(art_path(name)) / 1e6
+        side = art_path(name) + ".weights.npz"
+        side_mb = os.path.getsize(side) / 1e6 if os.path.exists(side) else 0
+        log(f"exported {name}: body {size:.2f} MB"
+            + (f" + sidecar {side_mb:.2f} MB" if side_mb else "")
+            + f" | {gate_notes[name]}")
+        if expect == "fired" and not fired:
+            raise RuntimeError(f"{name}: gate did not fire")
+        if expect == "bf16" and not passed:
+            raise RuntimeError(f"{name}: gate unexpectedly fired")
+        gate_notes[name] = (gate_notes[name], size, side_mb)
+
+    # 2) inputs + cpu-lowering reference coords
+    from bench import make_gate_batch
+
+    rng = np.random.default_rng(20260820)
+    for length in sorted(set(LENGTHS.values())):
+        if length >= 2000:
+            x = np.asarray(make_gate_batch(B, length, rng), np.float32)
+        else:
+            t = np.arange(length, dtype=np.float32)
+            pos = rng.uniform(length / 8, 7 * length / 8, B)
+            x = np.stack([
+                (np.exp(-0.5 * ((t - p) / 12.0) ** 2)
+                 * np.sin(2 * np.pi * t / 20.0))[None]
+                for p in pos]).astype(np.float32)
+        np.save(f"/tmp/gate_x{length}_{TAG}.npy", x)
+
+    ref_src = (
+        "import numpy as np, sys; sys.path.insert(0, '/root/repo')\n"
+        "from stofnet_tpu.serve import load_pipeline\n"
+        f"LENGTHS = {LENGTHS!r}\n"
+        f"out = {{name: np.asarray(load_pipeline(f'/tmp/gate_{{name}}_{TAG}"
+        f".jaxexp')(np.load(f'/tmp/gate_x{{L}}_{TAG}.npy')))\n"
+        "       for name, L in LENGTHS.items()}\n"
+        f"np.savez('/tmp/gate_ref_{TAG}.npz', **out)\n")
+    subprocess.run([sys.executable, "-c", ref_src], check=True, env=env_cpu,
+                   cwd="/root/repo", timeout=1800)
+    expected = dict(np.load(f"/tmp/gate_ref_{TAG}.npz"))
+
+    # 3) ONE device process runs every artifact
+    dev_src = (
+        "import json, sys, time; sys.path.insert(0, '/root/repo')\n"
+        "import numpy as np, jax\n"
+        "from stofnet_tpu.serve import load_pipeline\n"
+        "print('device:', jax.devices()[0].device_kind, file=sys.stderr)\n"
+        f"LENGTHS = {LENGTHS!r}\n"
+        "out, secs = {}, {}\n"
+        "for name, L in LENGTHS.items():\n"
+        "  try:\n"
+        f"    x = np.load(f'/tmp/gate_x{{L}}_{TAG}.npy')\n"
+        f"    pipe = load_pipeline(f'/tmp/gate_{{name}}_{TAG}.jaxexp')\n"
+        "    out[name] = np.asarray(pipe(x))\n"
+        "    t0 = time.perf_counter()\n"
+        "    for _ in range(3): got = np.asarray(pipe(x))\n"
+        "    secs[name] = (time.perf_counter() - t0) / 3\n"
+        "    out[name] = got\n"
+        "  except Exception as e:\n"
+        "    print(f'{name}: {type(e).__name__}: {e}'[:500], file=sys.stderr)\n"
+        "    secs[name] = None\n"
+        f"np.savez('/tmp/gate_got_{TAG}.npz', **out)\n"
+        f"open('/tmp/gate_secs_{TAG}.json', 'w').write(json.dumps(secs))\n")
+    t0 = time.perf_counter()
+    subprocess.run([sys.executable, "-c", dev_src], check=True, env=env_dev,
+                   cwd="/root/repo", timeout=3600)
+    log(f"device phase in {time.perf_counter() - t0:.1f} s")
+    got = dict(np.load(f"/tmp/gate_got_{TAG}.npz"))
+    secs = json.loads(open(f"/tmp/gate_secs_{TAG}.json").read())
+
+    # 4) parity vs the cpu lowering
+    rows, ok = [], True
+    for name, length, _, expect in CASES:
+        note, size, side_mb = gate_notes[name]
+        gated = expect is not None  # kuleshov is random-init: report-only
+        if name not in got or secs.get(name) is None:
+            rows.append((name, length, "device error (see log)", note,
+                         size, side_mb, float("nan")))
+            ok = False if gated else ok
+            log(f"{name}: device error")
+            continue
+        agree = float(np.mean(np.abs(expected[name] - got[name]) <= 1.0))
+        good = agree >= 0.95 if gated else True
+        verdict = (f"coord agreement {agree:.4f}"
+                   + ("" if gated else " (report-only: random init)"))
+        rows.append((name, length, verdict, note, size, side_mb,
+                     secs[name]))
+        ok &= good
+        log(f"{name}: {verdict} ({'ok' if good else 'FAIL'}), "
+            f"{1e3 * secs[name]:.1f} ms/batch B={B} L={length}")
+
+    if not SMOKE:
+        body = [
+            "# Export auto dtype gate + weights-as-inputs on hardware",
+            "",
+            f"r4 export features driven on the chip "
+            f"({time.strftime('%Y-%m-%d')}), ONE TPU process: every "
+            f"export ran with the DEFAULT `dtype=auto` — the gate chose "
+            f"bf16 for stofnet/edsr and FIRED (f32 fallback) on espcn's "
+            f"measured sigmoid-saturation trap — and kuleshov at "
+            f"L={KULESHOV_L} exported weights-as-inputs "
+            f"(`bake_weights=False`): the ~290 MB baked body the relay "
+            f"refuses (HTTP 413) becomes a program-text-only body + "
+            f"`.weights.npz` sidecar, and executes. Parity is each "
+            f"artifact's chip output vs its OWN cpu lowering, coords "
+            f"within +-1 sample over B={B} echo-bearing waveforms.",
+            "",
+            "| artifact | L | dtype gate | body MB | sidecar MB | parity "
+            "vs cpu lowering | ms/batch (B=8, incl. relay fetch) |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, length, verdict, note, size, side_mb, s in rows:
+            note_md = note.replace("|", "/")
+            ms = "-" if not np.isfinite(s) else f"{1e3 * s:.1f}"
+            body.append(
+                f"| {name} | {length} | {note_md} | {size:.2f} | "
+                f"{side_mb:.2f} | {verdict} | {ms} |")
+        body += ["", f"Generated by `python scripts/export_gate_tpu.py` "
+                     f"(rc=0 requires the two gated families >=0.95 and "
+                     f"the espcn gate to fire)."]
+        open("/root/repo/docs/EXPORT_GATE_tpu.md", "w").write(
+            "\n".join(body) + "\n")
+        log("wrote docs/EXPORT_GATE_tpu.md")
+
+    if not ok:
+        raise SystemExit(1)
+    log("export gate probe PASSED")
+
+
+if __name__ == "__main__":
+    main()
