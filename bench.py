@@ -1033,10 +1033,33 @@ def train_bench() -> None:
             f"loss[0]={losses[0]:.4f} -> loss[-1]={losses[-1]:.4f}")
         return wf_s, best / k * 1e3
 
+    def step_flops(amp: bool):
+        """XLA cost analysis of ONE jitted train step (fwd + bwd + AdamW)
+        — the training-side MFU honesty the inference headline already
+        has (measure_mfu / docs/DESIGN.md). Analysis runs on the lowered
+        step itself, not the scan, so the FLOPs are per-step exactly."""
+        from stofnet_tpu.utils.profiling import flops_estimate
+
+        train_step = make_train_step(model, optimizer, cfg, amp=amp)
+        state = init_train_state(variables, optimizer, seed=0)
+        return flops_estimate(train_step, state, xs[0], gt[0], gt_true[0])
+
     f32_wf_s, f32_ms = measure(amp=False)   # the reference parity recipe
     amp_wf_s, amp_ms = measure(amp=True)    # bf16 compute, f32 master
     wf_s, ms, recipe = ((amp_wf_s, amp_ms, "amp")
                         if amp_wf_s >= f32_wf_s else (f32_wf_s, f32_ms, "f32"))
+    mfu = {}
+    for name, s_ms in (("f32", f32_ms), ("amp", amp_ms)):
+        fl = step_flops(amp=(name == "amp"))
+        if fl and np.isfinite(fl):
+            # vs the bf16 systolic peak in BOTH recipes (the codebase
+            # convention; the f32 recipe's convs run below that peak by
+            # construction, which is part of what the number shows)
+            mfu[name] = {"flops_per_step": fl,
+                         "mfu_pct": round(100.0 * fl / (s_ms / 1e3)
+                                          / V5E_BF16_PEAK, 1)}
+            log(f"train {name}: {fl / 1e9:.1f} GFLOP/step -> "
+                f"{mfu[name]['mfu_pct']}% of v5e bf16 peak")
     emit({
         "metric": "stofnet_train_throughput",
         "value": round(wf_s, 1),
@@ -1047,6 +1070,10 @@ def train_bench() -> None:
         "recipe": recipe,
         "train_f32_wf_s": round(f32_wf_s, 1),
         "train_amp_wf_s": round(amp_wf_s, 1),
+        "train_f32_mfu_pct": mfu.get("f32", {}).get("mfu_pct"),
+        "train_amp_mfu_pct": mfu.get("amp", {}).get("mfu_pct"),
+        "train_flops_per_step": mfu.get("amp", mfu.get("f32", {}))
+                                   .get("flops_per_step"),
     }, "train")
 
 

@@ -12,7 +12,9 @@
  *                lossless for a bf16-forward artifact)
  *              wire 2 (int8): per waveform, float32 scale then L int8
  *                with value = scale*q, scale = max|row|/127 (a QUARTER
- *                of the bytes; validate decode agreement before shipping)
+ *                of the bytes; measured 0.974 — documented experiment)
+ *              wire 3 (s16) : per waveform, float32 scale then L int16
+ *                (scale = max|row|/32767; half the bytes, >=0.99)
  *   response : int32 status + uint32 m (LE) — always float32 coords
  *              status 0: m = E coords per waveform, then k*E float32
  *              status 1: m = UTF-8 error message byte length, then it
@@ -20,7 +22,7 @@
  *   stats    : "SFNS" (no further header) -> status-2 response
  *
  * Build:  gcc -O2 -o serving_client examples/serving_client.c -lm
- * Run  :  ./serving_client HOST PORT L [f32|bf16|int8] < waveform.f32
+ * Run  :  ./serving_client HOST PORT L [f32|bf16|int8|s16] < waveform.f32
  *         (reads L little-endian float32 samples from stdin, prints the
  *         decoded coords one per line, then the daemon's live stats;
  *         the optional 4th arg picks the request wire, default f32)
@@ -90,15 +92,16 @@ static uint16_t f32_to_bf16(float f) {
 int main(int argc, char **argv) {
     if (argc != 4 && argc != 5) {
         fprintf(stderr,
-                "usage: %s HOST PORT L [f32|bf16|int8]  (< L f32 samples)\n",
+                "usage: %s HOST PORT L [f32|bf16|int8|s16]  (< L f32 samples)\n",
                 argv[0]);
         return 1;
     }
     uint32_t L = (uint32_t)strtoul(argv[3], NULL, 10);
-    uint8_t wire = 0; /* 0 f32, 1 bf16, 2 int8 */
+    uint8_t wire = 0; /* 0 f32, 1 bf16, 2 int8, 3 s16 */
     if (argc == 5) {
         if (!strcmp(argv[4], "bf16")) wire = 1;
         else if (!strcmp(argv[4], "int8")) wire = 2;
+        else if (!strcmp(argv[4], "s16")) wire = 3;
         else if (strcmp(argv[4], "f32")) {
             fprintf(stderr, "unknown wire %s\n", argv[4]);
             return 1;
@@ -139,22 +142,35 @@ int main(int argc, char **argv) {
             for (uint32_t i = 0; i < L; i++) h[i] = f32_to_bf16(wave[i]);
             send_err = write_exact(fd, h, 2ull * L);
             free(h);
-        } else if (!send_err) { /* int8: f32 scale + L int8 per waveform */
+        } else if (!send_err) { /* int8/s16: f32 scale + L codes per row */
             float amax = 0.f;
             for (uint32_t i = 0; i < L; i++) {
                 float a = wave[i] < 0 ? -wave[i] : wave[i];
                 if (a > amax) amax = a;
             }
-            float scale = amax > 0.f ? amax / 127.f : 1.f;
-            int8_t *q = malloc(L);
-            for (uint32_t i = 0; i < L; i++) {
-                float v = wave[i] / scale;
-                v = v < -127.f ? -127.f : (v > 127.f ? 127.f : v);
-                /* round half to even like rint() under the default mode */
-                q[i] = (int8_t)lrintf(v);
+            float top = wire == 2 ? 127.f : 32767.f;
+            float scale = amax > 0.f ? amax / top : 1.f;
+            send_err = write_exact(fd, &scale, 4);
+            if (!send_err && wire == 2) {
+                int8_t *q = malloc(L);
+                for (uint32_t i = 0; i < L; i++) {
+                    float v = wave[i] / scale;
+                    v = v < -top ? -top : (v > top ? top : v);
+                    /* round half to even like rint() under default mode */
+                    q[i] = (int8_t)lrintf(v);
+                }
+                send_err = write_exact(fd, q, L);
+                free(q);
+            } else if (!send_err) { /* s16: the >=0.99 compact wire */
+                int16_t *q = malloc(2ull * L);
+                for (uint32_t i = 0; i < L; i++) {
+                    float v = wave[i] / scale;
+                    v = v < -top ? -top : (v > top ? top : v);
+                    q[i] = (int16_t)lrintf(v);
+                }
+                send_err = write_exact(fd, q, 2ull * L);
+                free(q);
             }
-            send_err = write_exact(fd, &scale, 4) || write_exact(fd, q, L);
-            free(q);
         }
     }
     if (send_err) {

@@ -39,6 +39,14 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+# The orchestrator itself must never take the exclusive chip claim (it
+# imports bench -> jax below; the device phase is a SUBPROCESS). Re-exec
+# with the CPU env forced rather than trusting the docstring (ADVICE r4).
+if os.environ.get("PALLAS_AXON_POOL_IPS", None) != "" or \
+        os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    os.execvpe(sys.executable, [sys.executable, *sys.argv],
+               dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu"))
+
 SMOKE = "--smoke" in sys.argv
 TAG = "smoke" if SMOKE else "tpu"
 B = 8
@@ -223,9 +231,10 @@ def main():
             body.append(
                 f"| {name} | {length} | {note_md} | {size:.2f} | "
                 f"{side_mb:.2f} | {verdict} | {ms} |")
+        n_gated = sum(1 for _, _, _, expect in CASES if expect is not None)
         body += ["", f"Generated by `python scripts/export_gate_tpu.py` "
-                     f"(rc=0 requires the two gated families >=0.95 and "
-                     f"the espcn gate to fire)."]
+                     f"(rc=0 requires the {n_gated} gated families >=0.95 "
+                     f"and the espcn gate to fire)."]
         open("/root/repo/docs/EXPORT_GATE_tpu.md", "w").write(
             "\n".join(body) + "\n")
         log("wrote docs/EXPORT_GATE_tpu.md")

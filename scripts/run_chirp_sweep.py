@@ -42,22 +42,30 @@ def main():
                                n_test_per_pos=10, sample_num=800)
     log(f"dataset at {DATA}")
 
-    # train StofNet from scratch on the synthetic train split
-    # (L = 800*10 = 8000: the full protocol length)
-    cfg = load_config(DEFAULT_CONFIG)
-    cfg.update(data_dir=str(DATA), evaluate=False, model="stofnet",
-               epochs=EPOCHS, batch_size=8, rf_scale_factor=10,
-               max_echoes=8, crop_ratio=0.75, snr_db=30, seed=SEED,
-               plot_interval=0, run_dir=str(REPO / "runs_chirp_train"),
-               ckpt_dir=str(CKPTS))
-    out = run(cfg)
-    ckpt = Path(out["checkpoint"])
-    log(f"trained-here checkpoint: {ckpt}")
+    # train StofNet AND EDSR from scratch on the synthetic train split
+    # (L = 800*10 = 8000: the full protocol length). Two trained-here
+    # families make the held-out table an actual model comparison
+    # (VERDICT r4 #1, same move as run_pala_sweeps.py).
+    ckpts = {}
+    for fam in ("stofnet", "edsr"):
+        cfg = load_config(DEFAULT_CONFIG)
+        cfg.update(data_dir=str(DATA), evaluate=False, model=fam,
+                   epochs=EPOCHS, batch_size=8, rf_scale_factor=10,
+                   max_echoes=8, crop_ratio=0.75, snr_db=30, seed=SEED,
+                   plot_interval=0,
+                   run_dir=str(REPO / f"runs_chirp_train_{fam}"),
+                   ckpt_dir=str(CKPTS))
+        out = run(cfg)
+        ckpts[fam] = Path(out["checkpoint"])
+        log(f"trained-here {fam} checkpoint: {ckpts[fam]}")
+    ckpt = ckpts["stofnet"]
 
-    # trained-here quality row + the same checkpoint through the int8
-    # serving path (models/int8.py; CLI int8=True) as a quantized-quality row
+    # trained-here quality rows (both families) + the stofnet checkpoint
+    # through the int8 serving path (models/int8.py; CLI int8=True) as a
+    # quantized-quality row
     rows = list(SWEEPS["chirp"]) + [
         ["stofnet", ckpt.name, None],
+        ["edsr", ckpts["edsr"].name, None],
         ["stofnet", ckpt.name, None, {"int8": True}],
     ]
     scfg = load_config(DEFAULT_CONFIG)

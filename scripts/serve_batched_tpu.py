@@ -1,4 +1,4 @@
-"""Daemon throughput with BATCHED clients, per request-wire encoding.
+"""Daemon throughput with BATCHED clients: request wires AND device legs.
 
 bench.py's load curves drive SINGLE-waveform clients (the latency
 shape: 356 wf/s at 128 clients, relay dispatch-rate bound) and its
@@ -7,31 +7,44 @@ serving layer at all (~430-780 wf/s; the relay's host->device transfer
 is the ceiling for ANY host-resident data). This probe closes the gap
 between those two numbers: closed-loop clients submitting FULL
 (128, L) requests through the TCP daemon — every request rides one
-full bucket, so the measured wf/s is the serving stack's best case and
-should land at the host-fed floor if the daemon adds ~nothing.
+full bucket, so the measured wf/s is the serving stack's best case.
 
-r4 adds the REQUEST WIRE dimension (serving/tcp.py SFN2): the serving
-path was measured transfer-bound, and the f32 wire ships 4 MB per
-(128, 8000) request for a pipeline that quantizes to int8 anyway. The
-probe now measures f32 / bf16 (half the bytes) / int8 (a quarter) wires
-back to back through ONE daemon, each behind the same 0.99 coordinate-
-agreement gate as every quantization step (within 1 sample vs the f32
-wire, echo-bearing data — docs/DESIGN.md calibration trap).
+r5 measures BOTH transfer legs (VERDICT r4 #2/#3):
 
-ONE TPU process (the daemon, int8-SGB artifact — the served headline
-path); CPU-only clients. Rewrites docs/SERVE_BATCHED_tpu.md.
+- CLIENT WIRE (serving/tcp.py SFN2): f32 / bf16 / s16 / int8 request
+  encodings through one baseline daemon. The 0.99 ship gate comes from
+  the CPU encoding sweep (scripts/input_enc_sweep.py): bf16 lossless,
+  s16 0.9974, per-waveform int8 0.974 and per-chunk s8c ~0.977 — the
+  carrier-cycle near-tie flips live inside the echo's own chunk, so
+  8-bit input codes of ANY scaling stay below the gate (measured dead
+  end; int8 rides along here as the documented experiment with a 0.9
+  sanity floor against codec breakage).
+- DEVICE LEG (serve.py ``input_enc=``): artifacts whose device
+  signature is (codes, scales) — the daemon->device relay transfer
+  ships 16-bit codes instead of f32 (input_enc=s16, half the bytes,
+  gate-clearing) measured against the same-run f32-input baseline,
+  plus the fully compact path (s16 wire x s16 device leg; the double
+  encode is idempotent, tests/test_serving_codecs.py).
 
-Smoke: ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-python scripts/serve_batched_tpu.py --smoke``.
+ONE TPU process at a time (each daemon), sequential with claim-wedge
+sleeps. Rewrites docs/SERVE_BATCHED_tpu.md.
+
+Smoke: ``python scripts/serve_batched_tpu.py --smoke`` (CPU-forced).
 """
 
 from __future__ import annotations
 
 import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS", None) != "" or \
+        os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    os.execvpe(sys.executable, [sys.executable, *sys.argv],
+               dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu"))
+
 import signal
 import socket
 import subprocess
-import sys
 import threading
 import time
 
@@ -45,162 +58,211 @@ PORT = 17739 if SMOKE else 17738
 L = 8000
 K = 128           # waveforms per request = one full bucket
 CLIENTS = 4
-SECONDS = 5 if SMOKE else 45
-WIRES = ("f32", "bf16", "int8")
+SECONDS = 4 if SMOKE else 40
+CLAIM_SLEEP = 0 if SMOKE else 120  # post-process claim wedge (CLAUDE.md)
+
+# (daemon label, export input_enc, [(wire, gated?)...]); agreement gates:
+# bf16/s16 >= 0.99 (shippable), int8 >= 0.9 sanity floor (experiment)
+PLAN = [
+    ("f32-input", None, [("f32", None), ("bf16", 0.99), ("s16", 0.99),
+                         ("int8", 0.9)]),
+    ("s16-input", "s16", [("f32", 0.99), ("s16", 0.99)]),
+    ("bf16-input", "bf16", [("bf16", 0.99)]),
+]
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def wire_mb(wire):
+    from stofnet_tpu.serving.tcp import parse_wire, payload_nbytes
+
+    w, p = parse_wire(wire)
+    return payload_nbytes(w, K, L, p) / 1e6
+
+
 def main():
-    env_cpu = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env_cpu = dict(os.environ)
     env_tpu = (env_cpu if SMOKE else
                dict(os.environ, PALLAS_AXON_POOL_IPS="127.0.0.1",
                     JAX_PLATFORMS="axon"))
     rng = np.random.default_rng(11)
-    art = f"/tmp/sb_int8_{TAG}.jaxexp"
-    calib = f"/tmp/sb_calib_{TAG}.npy"
 
     from bench import make_gate_batch
+    from stofnet_tpu.serving import ServingClient
 
+    calib = f"/tmp/sb_calib_{TAG}.npy"
     np.save(calib, np.asarray(make_gate_batch(16, L, rng), np.float32))
-    subprocess.run(
-        [sys.executable, "-m", "stofnet_tpu.cli.export",
-         "model_file=different-armadillo", "ckpt_dir=/root/reference/ckpts",
-         f"out={art}", "batch=b", f"length={L}", "th=Null", "max_echoes=8",
-         f"int8_calib={calib}", "platforms=cpu,tpu"],
-        check=True, env=env_cpu, cwd="/root/repo", timeout=900)
-    log(f"exported {art} ({os.path.getsize(art) / 1e6:.2f} MB, int8-SGB)")
+    x = np.asarray(make_gate_batch(K, L, rng), np.float32)[:, 0]
 
-    # warmup=False: only the full K=128 bucket is ever exercised (every
-    # request is full-size), and the explicit warm request below compiles
-    # it — pre-compiling all 8 buckets is wasted startup here
-    daemon = subprocess.Popen(
-        [sys.executable, "-m", "stofnet_tpu.cli.serve",
-         f"artifact={art}", f"port={PORT}", "max_batch=128",
-         "warmup=False"],
-        env=env_tpu, cwd="/root/repo", stderr=subprocess.PIPE, text=True)
-    try:
-        deadline = time.perf_counter() + (600 if SMOKE else 1800)
-        while time.perf_counter() < deadline:
-            try:
-                socket.create_connection(("127.0.0.1", PORT), 1).close()
-                break
-            except OSError:
-                if daemon.poll() is not None:
-                    raise RuntimeError(
-                        f"daemon exited rc={daemon.returncode}: "
-                        f"{daemon.stderr.read()[-2000:]}")
-                time.sleep(2)
-        else:
-            raise TimeoutError("daemon never opened the port")
+    arts = {}
+    for label, enc, _ in PLAN:
+        art = f"/tmp/sb_{label}_{TAG}.jaxexp"
+        cmd = [sys.executable, "-m", "stofnet_tpu.cli.export",
+               "model_file=different-armadillo",
+               "ckpt_dir=/root/reference/ckpts",
+               f"out={art}", "batch=b", f"length={L}", "th=Null",
+               "max_echoes=8", f"int8_calib={calib}", "platforms=cpu,tpu"]
+        if enc:
+            cmd.append(f"input_enc={enc}")
+        subprocess.run(cmd, check=True, env=env_cpu, cwd="/root/repo",
+                       timeout=900)
+        arts[label] = art
+        log(f"exported {art} ({os.path.getsize(art) / 1e6:.2f} MB, "
+            f"int8-SGB, input_enc={enc or 'f32'})")
 
-        from stofnet_tpu.serving import ServingClient
+    results, agreement, stats_by = {}, {}, {}
+    ref_coords = None
+    for label, enc, wires in PLAN:
+        # warmup=False: only the full K=128 bucket is ever exercised;
+        # the explicit warm request below compiles it
+        daemon = subprocess.Popen(
+            [sys.executable, "-m", "stofnet_tpu.cli.serve",
+             f"artifact={arts[label]}", f"port={PORT}", "max_batch=128",
+             "warmup=False"],
+            env=env_tpu, cwd="/root/repo", stderr=subprocess.PIPE,
+            text=True)
+        try:
+            deadline = time.perf_counter() + (600 if SMOKE else 1800)
+            while time.perf_counter() < deadline:
+                try:
+                    socket.create_connection(("127.0.0.1", PORT), 1).close()
+                    break
+                except OSError:
+                    if daemon.poll() is not None:
+                        raise RuntimeError(
+                            f"daemon exited rc={daemon.returncode}: "
+                            f"{daemon.stderr.read()[-2000:]}")
+                    time.sleep(2)
+            else:
+                raise TimeoutError("daemon never opened the port")
 
-        x = np.asarray(make_gate_batch(K, L, rng), np.float32)[:, 0]
-
-        # warm the full-bucket path + coordinate-agreement gates: each
-        # compact wire must agree with the f32 wire within 1 sample on
-        # ≥99% of coords (echo-bearing data, the standard quant gate)
-        with ServingClient(("127.0.0.1", PORT), timeout=600.0) as w:
-            ref_coords = w.infer(x)
-        agreement = {"f32": 1.0}
-        for wire in WIRES[1:]:
-            with ServingClient(("127.0.0.1", PORT), timeout=600.0,
-                               wire=wire) as c:
-                coords = c.infer(x)
-            agreement[wire] = float(np.mean(np.abs(coords - ref_coords)
-                                            <= 1.0))
-            log(f"{wire} wire coord agreement vs f32: {agreement[wire]:.4f}")
-
-        results = {}
-        for wire in WIRES:
-            counts = [0] * CLIENTS
-            stop = threading.Event()
-
-            def client(i, wire=wire):
+            # warm + agreement gates (vs the f32-input daemon's f32-wire
+            # coords — the end-to-end exact reference)
+            for wire, gate in wires:
                 with ServingClient(("127.0.0.1", PORT), timeout=600.0,
                                    wire=wire) as c:
-                    while not stop.is_set():
-                        c.infer(x)
-                        counts[i] += 1
+                    coords = c.infer(x)
+                if ref_coords is None:
+                    ref_coords = coords
+                key = (label, wire)
+                agreement[key] = float(np.mean(
+                    np.abs(coords - ref_coords) <= 1.0))
+                log(f"[{label} | {wire} wire] coord agreement vs "
+                    f"f32/f32: {agreement[key]:.4f}"
+                    + (f" (gate {gate})" if gate else ""))
 
-            threads = [threading.Thread(target=client, args=(i,),
-                                        daemon=True)
-                       for i in range(CLIENTS)]
-            t0 = time.perf_counter()
-            for t in threads:
-                t.start()
-            time.sleep(SECONDS)
-            stop.set()
-            for t in threads:
-                t.join(timeout=600)
-            elapsed = time.perf_counter() - t0
-            wf_s = sum(counts) * K / elapsed
-            results[wire] = round(wf_s, 1)
-            log(f"[{wire}] {CLIENTS} clients x ({K}, {L}) requests: "
-                f"{sum(counts) * K} waveforms in {elapsed:.1f} s -> "
-                f"{wf_s:.1f} wf/s")
+            for wire, _ in wires:
+                counts = [0] * CLIENTS
+                stop = threading.Event()
 
-        with ServingClient(("127.0.0.1", PORT)) as c:
-            stats = c.stats()
-        daemon.send_signal(signal.SIGTERM)
-        rc = daemon.wait(timeout=180)
-        drained = "served:" in daemon.stderr.read()
-        # pass criterion = the SHIPPABLE compact wire: bf16 must clear
-        # the 0.99 gate (it is lossless for bf16 artifacts by
-        # construction). int8 is reported either way — measured r4 at
-        # 0.9795 on echo-bearing data, below the ship bar, so it is a
-        # documented experiment like full-stack int8 quantization
-        # (docs/SERVING.md wire guidance), not a pass/fail gate here.
-        ok = (rc == 0 and drained and all(v > 0 for v in results.values())
-              and agreement["bf16"] >= 0.99)
+                def client(i, wire=wire):
+                    with ServingClient(("127.0.0.1", PORT), timeout=600.0,
+                                       wire=wire) as c:
+                        while not stop.is_set():
+                            c.infer(x)
+                            counts[i] += 1
 
-        if not SMOKE:
-            body = f"""# Batched-client daemon throughput on hardware
+                threads = [threading.Thread(target=client, args=(i,),
+                                            daemon=True)
+                           for i in range(CLIENTS)]
+                t0 = time.perf_counter()
+                for t in threads:
+                    t.start()
+                time.sleep(SECONDS)
+                stop.set()
+                for t in threads:
+                    t.join(timeout=600)
+                elapsed = time.perf_counter() - t0
+                wf_s = sum(counts) * K / elapsed
+                results[(label, wire)] = round(wf_s, 1)
+                log(f"[{label} | {wire} wire] {CLIENTS} clients x "
+                    f"({K}, {L}): {sum(counts) * K} waveforms in "
+                    f"{elapsed:.1f} s -> {wf_s:.1f} wf/s")
 
-{time.strftime('%Y-%m-%d')}: {CLIENTS} closed-loop TCP clients each
-submitting FULL ({K}, {L}) requests to the int8-SGB artifact daemon
-(max_batch={K}; every request rides one full bucket), {SECONDS} s
-steady state per request wire (serving/tcp.py SFN2 encodings).
-
-| request wire | bytes/request | throughput | coord agreement vs f32 |
-|---|---|---|---|
-| f32 (SFN1) | {4 * K * L / 1e6:.1f} MB | {results['f32']:.1f} wf/s | exact |
-| bf16 | {2 * K * L / 1e6:.1f} MB | {results['bf16']:.1f} wf/s | {agreement['bf16']:.4f} |
-| int8 (per-waveform scale) | {K * (4 + L) / 1e6:.1f} MB | {results['int8']:.1f} wf/s | {agreement['int8']:.4f} |
-
-Context: bench.py host_fed_wf_s (raw host->device floor, no serving
-layer) 430-780 per-run relay load; bench.py --serve with 128
-single-waveform clients ~356 wf/s; occupancy this run
-{stats['occupancy']:.3f}.
-
-Read: batched requests overlap the relay's host->device transfer with
-device compute, so the daemon exceeds the sequential host-fed number
-(r3 measured 1,019.6 wf/s on the f32 wire). The compact wires shrink
-the client->daemon TCP leg (the agreement gate makes them shippable:
-bf16 is absorbed by the model's own input cast, int8 mirrors the
-int8-SGB path's per-waveform activation quantization). The
-daemon->device relay leg still ships f32 — the relay transfer cap, not
-the TCP leg, remains the serving ceiling; the wire saves client
-bandwidth and helps when the daemon runs remote from its clients.
-"""
-            with open("/root/repo/docs/SERVE_BATCHED_tpu.md", "w") as f:
-                f.write(body)
-            log("wrote docs/SERVE_BATCHED_tpu.md")
-
-        print({"ok": ok, "wf_s": results, "agreement": agreement,
-               "occupancy": stats["occupancy"], "rc": rc,
-               "drained": drained})
-        sys.exit(0 if ok else 1)
-    finally:
-        if daemon.poll() is None:
+            with ServingClient(("127.0.0.1", PORT)) as c:
+                stats_by[label] = c.stats()
             daemon.send_signal(signal.SIGTERM)
-            try:
-                daemon.wait(timeout=60)
-            except subprocess.TimeoutExpired:
-                daemon.kill()
+            rc = daemon.wait(timeout=180)
+            drained = "served:" in daemon.stderr.read()
+            if rc != 0 or not drained:
+                raise RuntimeError(f"daemon {label} exit rc={rc} "
+                                   f"drained={drained}")
+        finally:
+            if daemon.poll() is None:
+                daemon.send_signal(signal.SIGTERM)
+                try:
+                    daemon.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    daemon.kill()
+        if label != PLAN[-1][0]:
+            log(f"sleeping {CLAIM_SLEEP} s (claim wedge)...")
+            time.sleep(CLAIM_SLEEP)
+
+    ok = all(results.get(k, 0) > 0 for k in results)
+    for label, enc, wires in PLAN:
+        for wire, gate in wires:
+            if gate and agreement[(label, wire)] < gate:
+                ok = False
+                log(f"GATE FAIL: {label}/{wire} "
+                    f"{agreement[(label, wire)]:.4f} < {gate}")
+
+    if not SMOKE:
+        base = results[("f32-input", "f32")]
+        lines = [
+            "# Batched-client daemon throughput on hardware — both legs",
+            "",
+            f"{time.strftime('%Y-%m-%d')}: {CLIENTS} closed-loop TCP "
+            f"clients each submitting FULL ({K}, {L}) requests to the "
+            f"int8-SGB artifact daemon (max_batch={K}), {SECONDS} s "
+            f"steady state per row. Rows vary the CLIENT WIRE "
+            f"(serving/tcp.py SFN2) and the DEVICE LEG (serve.py "
+            f"``input_enc=``: the daemon->device relay transfer ships "
+            f"16-bit codes instead of f32 — VERDICT r4 #2/#3). All "
+            f"agreements are end-to-end vs the all-f32 path.",
+            "",
+            "| device leg (artifact) | client wire | bytes/request | "
+            "throughput | vs all-f32 | coord agreement |",
+            "|---|---|---|---|---|---|",
+        ]
+        for label, enc, wires in PLAN:
+            for wire, gate in wires:
+                k = (label, wire)
+                lines.append(
+                    f"| {label} | {wire} | {wire_mb(wire):.2f} MB | "
+                    f"{results[k]:.1f} wf/s | "
+                    f"{results[k] / base:+.1%} | {agreement[k]:.4f}"
+                    + (" (experiment)" if gate == 0.9 else "") + " |")
+        lines += [
+            "",
+            f"Same-run baseline discipline (VERDICT r4 #6): every delta "
+            f"is against THIS run's all-f32 row ({base:.1f} wf/s); "
+            f"absolute wf/s rides the relay's per-run load (r3 measured "
+            f"1,019.6, r4 650.3 on the same setup).",
+            "",
+            "Why 16-bit and not 8-bit: the CPU encoding sweep "
+            "(scripts/input_enc_sweep.py) measured per-waveform int8 at "
+            "0.974 and per-CHUNK s8c8/16/32 at ~0.977 on echo data — the "
+            "decode flips are carrier-cycle near-ties inside the echo's "
+            "own chunk, which finer chunk scales cannot fix; s16 (0.9974) "
+            "and bf16 (lossless by construction) clear the 0.99 gate at "
+            "half the f32 bytes. The int8 wire row is kept as the "
+            "documented experiment with a 0.9 sanity floor (ADVICE r4).",
+            "",
+            f"Daemon occupancy this run: "
+            + ", ".join(f"{lbl} {stats_by[lbl]['occupancy']:.3f}"
+                        for lbl, _, _ in PLAN) + ".",
+        ]
+        with open("/root/repo/docs/SERVE_BATCHED_tpu.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        log("wrote docs/SERVE_BATCHED_tpu.md")
+
+    print({"ok": ok,
+           "wf_s": {f"{a}/{b}": v for (a, b), v in results.items()},
+           "agreement": {f"{a}/{b}": round(v, 4)
+                         for (a, b), v in agreement.items()}})
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,15 @@ _KNOWN_KEYS = frozenset({
     # at L=800; the relay remote-compile 413s ~290 MB bodies). Default
     # True (self-contained single file).
     "bake_weights",
+    # input_enc=f32|bf16|s16|s8c<n>: ENCODED-INPUT artifact — the device
+    # signature becomes (codes[, scales]); load_pipeline encodes
+    # host-side so callers keep f(x f32)->coords while the host->device
+    # transfer (the measured serving ceiling, docs/SERVE_BATCHED_tpu.md)
+    # ships 2x (bf16/s16) or ~4x (s8c) fewer bytes. Gate the scheme's
+    # decode agreement on YOUR data like any quantization
+    # (scripts/input_enc_sweep.py measured s16 lossless-grade and s8c16
+    # >= the per-waveform int8 wire on echo data).
+    "input_enc",
     # architecture overrides (win over params-tree inference — needed
     # where the architecture is not recoverable from shapes, e.g. a
     # non-default semi_global_scale pooling factor)
@@ -305,6 +314,11 @@ def main(argv: Optional[List[str]] = None) -> str:
     pipe_kwargs = dict(platforms=platforms, model_name=model, dtype=dtype,
                        window_size=window_size, threshold=threshold,
                        max_echoes=max_echoes, int8_calib=calib, **stack_cfg)
+    if args.get("input_enc") not in (None, "", "f32"):
+        # added after the dtype gate on purpose: the gate probes the
+        # bf16-vs-f32 COMPUTE choice on the plain f32-input pipeline;
+        # the input encoding is orthogonal and measured separately
+        pipe_kwargs["input_enc"] = str(args["input_enc"])
     if args.get("bake_weights", True):
         blob = export_pipeline(variables, overrides, batch, length,
                                **pipe_kwargs)
@@ -318,9 +332,12 @@ def main(argv: Optional[List[str]] = None) -> str:
                                                    **pipe_kwargs)
         note = f"weights-as-inputs + {out}.weights.npz sidecar"
     p = save_pipeline(out, blob, weights=weights)
+    enc = pipe_kwargs.get("input_enc", "f32")
     print(f"exported {p} ({len(blob) / 1e6:.2f} MB, model={model}, "
           f"platforms={','.join(platforms)}, "
-          f"input=({args.get('batch', 128)}, 1, {length}) f32, {note})",
+          f"input=({args.get('batch', 128)}, 1, {length}) {enc}"
+          + (" [encoded-input: codes ride the host->device leg]"
+             if enc != "f32" else "") + f", {note})",
           file=sys.stderr)
     return str(p)
 

@@ -54,30 +54,64 @@ _KNOWN_KEYS = frozenset({
     "artifact", "model_file", "ckpt_dir", "length", "th", "window_size",
     "max_echoes", "int8_calib", "int8_stack", "int8_eq_alpha",
     "int8_bias_correct", "host", "port", "max_batch", "max_wait_ms",
-    "warmup", "mesh", "mesh_dp", "compile_cache", "max_pending",
+    "warmup", "mesh", "mesh_dp", "mesh_sp", "compile_cache", "max_pending",
     "num_features", "semi_global_scale", "num_blocks", "upsample_factor",
     # whole-zoo serving from a checkpoint (same switch as the exporter)
     "model", "dataset_kind", "rf_scale_factor", "sample_num", "fs",
     "n_layers", "dtype",
+    # input_enc=bf16|s16|s8c<n>: ship compact codes on the host->device
+    # leg (the measured serving ceiling); same schemes as the exporter
+    "input_enc",
 })
 
 
 def _mesh_wrap(pipeline, args: Dict[str, Any]) -> Tuple[Any, int]:
-    """``mesh=True [mesh_dp=N]``: shard every served batch over a dp mesh
-    (same convention as cli/main.py's mesh flags) — GSPMD splits the
-    batch across chips and the decode gathers per-row coords, so one
-    daemon serves a whole slice. Exported artifacts work too: the
-    deserialized call is jax-traceable and re-jits under in_shardings
-    (tests/test_serve.py::test_exported_artifact_serves_on_dp_mesh)."""
+    """``mesh=True [mesh_dp=N] [mesh_sp=M]``: shard every served batch
+    over a (dp, sp) mesh (same convention as cli/main.py's mesh flags) —
+    GSPMD splits the batch across dp, and with ``mesh_sp>1`` also shards
+    the RF sample axis over sp (halo exchanges for the convs, gathers for
+    the SGB pooled pathway and the decode top_k) — the long-L serving
+    regime ``bench.py --lscaling`` measures to L=160k. Exported artifacts
+    work too: the deserialized call is jax-traceable and re-jits under
+    in_shardings (tests/test_serve.py::test_exported_artifact_serves_on_
+    dp_mesh, sp variant in __graft_entry__.dryrun_multichip)."""
     import jax
 
-    from stofnet_tpu.parallel import batch_sharding, make_mesh
+    from stofnet_tpu.parallel import (batch_seq_sharding, batch_sharding,
+                                      make_mesh)
 
-    dp = int(args.get("mesh_dp", 0) or len(jax.devices()))
+    sp = int(args.get("mesh_sp", 1) or 1)
+    dp = int(args.get("mesh_dp", 0) or len(jax.devices()) // sp)
     # a serving mesh may use a subset of the host's chips (mesh_dp=4 on an
     # 8-chip worker leaves the rest for other daemons)
-    mesh = make_mesh(dp=dp, sp=1, devices=jax.devices()[:dp])
-    sharding = batch_sharding(mesh, 3)
+    mesh = make_mesh(dp=dp, sp=sp, devices=jax.devices()[:dp * sp])
+
+    def data_sharding(aval):
+        """Batch axis over dp always; the sample/length axis (the last
+        one) over sp. Encoded artifacts' per-chunk scales align with the
+        length too (n_chunks divides L), so the same rule applies; the
+        s16 scale's singleton last axis must stay replicated."""
+        if sp > 1 and int(aval.shape[-1]) > 1:
+            return batch_seq_sharding(mesh, aval.ndim, seq_axis=-1)
+        return batch_sharding(mesh, aval.ndim)
+
+    if getattr(pipeline, "input_enc", "f32") != "f32":
+        # encoded-input artifact: keep the host-side numpy encode OUT of
+        # the traced function (it is the transfer win), shard the codes
+        # over the mesh — every enc's device args are batch-major
+        raw, encode = pipeline.raw_call, pipeline.encode
+        shardings = tuple(data_sharding(a) for a in pipeline.raw_in_avals)
+        raw_sharded = jax.jit(lambda *data: raw(*data),
+                              in_shardings=shardings)
+
+        def piped(xb):
+            return raw_sharded(*encode(xb))
+
+        return piped, dp
+    sharding = data_sharding(pipeline.in_avals[0]) if hasattr(
+        pipeline, "in_avals") else (
+        batch_seq_sharding(mesh, 3, seq_axis=-1) if sp > 1
+        else batch_sharding(mesh, 3))
     return jax.jit(lambda xb: pipeline(xb), in_shardings=(sharding,)), dp
 
 
@@ -185,9 +219,28 @@ def build(args: Dict[str, Any]):
         dtype = apply_dtype_gate(resolve_dtype(args), variables, overrides,
                                  model_name=model,
                                  length=int(args["length"]), **pipe_kwargs)
+        enc = str(args.get("input_enc") or "f32")
         pipeline = jax.jit(make_pipeline(
             variables, overrides, model_name=model, dtype=dtype,
-            **pipe_kwargs))
+            input_enc=None if enc == "f32" else enc, **pipe_kwargs))
+        if enc != "f32":
+            # same shape as an encoded artifact: host-side numpy encode,
+            # compact codes on the host->device leg; expose the encoding
+            # attrs so _mesh_wrap shards the codes
+            from stofnet_tpu.serve import (encoded_input_specs,
+                                           make_input_encoder)
+
+            encoder = make_input_encoder(enc)
+            jp = pipeline
+
+            def pipeline(xb, _jp=jp, _enc=encoder):
+                return _jp(*_enc(xb))
+
+            pipeline.input_enc = enc
+            pipeline.encode = encoder
+            pipeline.raw_call = jp
+            pipeline.raw_in_avals = encoded_input_specs(
+                enc, int(args.get("max_batch", 128)), int(args["length"]))
         max_batch = int(args.get("max_batch", 128))
         pipeline, buckets = _mesh_adjust(pipeline, args, None, max_batch)
         hostd = ServingHost(pipeline, int(args["length"]),

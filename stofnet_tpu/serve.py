@@ -28,6 +28,110 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+def parse_input_enc(enc: Optional[str]) -> Tuple[str, int]:
+    """``input_enc=`` spelling → (kind, n_chunks). Kinds: ``"f32"``
+    (default), ``"bf16"``, ``"s16"`` (alias ``int16``), ``"s8c"`` with an
+    optional chunk count (``s8c16``; default serving/tcp.DEFAULT_CHUNKS).
+    The same spellings the TCP wire accepts, because they are the same
+    schemes (serving/codecs.py)."""
+    enc = "f32" if enc in (None, "") else str(enc)
+    if enc in ("f32", "bf16"):
+        return enc, 0
+    if enc in ("s16", "int16"):
+        return "s16", 0
+    if enc == "s8c" or (enc.startswith("s8c") and enc[3:].isdigit()):
+        from stofnet_tpu.serving.tcp import DEFAULT_CHUNKS
+
+        n = int(enc[3:]) if enc[3:] else DEFAULT_CHUNKS
+        if not 1 <= n <= 255:
+            raise ValueError(f"s8c chunk count must be 1..255, got {n}")
+        return "s8c", n
+    raise ValueError(f"input_enc must be f32|bf16|s16|s8c<n>, got {enc!r}")
+
+
+def encoded_input_specs(enc: Optional[str], batch, length: int):
+    """The artifact's device input signature for ``input_enc=enc`` —
+    ShapeDtypeStructs for (codes[, scales]); the f32 default is the plain
+    (batch, 1, length) f32 waveform."""
+    import jax
+    import jax.numpy as jnp
+
+    kind, n = parse_input_enc(enc)
+    if kind == "f32":
+        return (jax.ShapeDtypeStruct((batch, 1, length), jnp.float32),)
+    if kind == "bf16":
+        return (jax.ShapeDtypeStruct((batch, 1, length), jnp.bfloat16),)
+    if kind == "s16":
+        return (jax.ShapeDtypeStruct((batch, 1, length), jnp.int16),
+                jax.ShapeDtypeStruct((batch, 1, 1), jnp.float32))
+    from stofnet_tpu.serving.codecs import chunk_len
+
+    chunk_len(length, n)  # config-time divisibility check
+    return (jax.ShapeDtypeStruct((batch, 1, length), jnp.int8),
+            jax.ShapeDtypeStruct((batch, 1, n), jnp.float32))
+
+
+def make_input_encoder(enc: Optional[str]):
+    """Host-side (numpy) encoder matching ``make_pipeline(input_enc=enc)``:
+    ``(B, 1, L) f32 → tuple of device inputs``. This is where the
+    daemon→device transfer win happens: the relay ships the codes, the
+    dequantization runs on device fused into the first conv
+    (docs/SERVE_BATCHED_tpu.md names this leg as the serving ceiling)."""
+    kind, n = parse_input_enc(enc)
+    if kind == "f32":
+        return lambda x: (np.ascontiguousarray(x, np.float32),)
+    if kind == "bf16":
+        import ml_dtypes
+
+        return lambda x: (np.asarray(x, np.float32)
+                          .astype(ml_dtypes.bfloat16),)
+    if kind == "s16":
+        from stofnet_tpu.serving.codecs import encode_s16
+
+        def enc_s16(x):
+            x = np.asarray(x, np.float32)
+            codes, scales = encode_s16(x.reshape(x.shape[0], -1))
+            return (codes.reshape(x.shape),
+                    scales.reshape(-1, 1, 1).astype(np.float32))
+
+        return enc_s16
+    from stofnet_tpu.serving.codecs import encode_s8c
+
+    def enc_s8c(x):
+        x = np.asarray(x, np.float32)
+        codes, scales = encode_s8c(x.reshape(x.shape[0], -1), n)
+        return (codes.reshape(x.shape),
+                scales.reshape(x.shape[0], 1, n).astype(np.float32))
+
+    return enc_s8c
+
+
+def _wrap_input_enc(pipe, enc: Optional[str]):
+    """Wrap an ``x f32``-input pipeline so it takes the encoded device
+    inputs instead; the dequantization is jnp (traced/exported) and
+    bit-matches the numpy codecs' decode (tests/test_serving_codecs.py)."""
+    import jax.numpy as jnp
+
+    kind, n = parse_input_enc(enc)
+    if kind in ("f32", "bf16"):
+        # f32: identity. bf16: the base pipeline's own first-op cast
+        # absorbs a bf16 input; no dequant needed (lossless for
+        # bf16-forward models)
+        return pipe
+    if kind == "s16":
+        return lambda codes, scales: pipe(
+            codes.astype(jnp.float32) * scales)
+
+    def pipe_s8c(codes, scales):
+        b, _, length = codes.shape
+        c = length // n
+        x = (codes.reshape(b, 1, n, c).astype(jnp.float32)
+             * scales[..., None]).reshape(b, 1, length)
+        return pipe(x)
+
+    return pipe_s8c
+
+
 def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                   *, model_name: str = "stofnet", window_size: int = 20,
                   threshold: Optional[float] = None,
@@ -35,7 +139,8 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                   int8_calib: Any = None,
                   int8_stack_layers: Optional[Tuple[int, ...]] = None,
                   int8_eq_alpha: Optional[float] = None,
-                  int8_bias_correct: bool = False):
+                  int8_bias_correct: bool = False,
+                  input_enc: Optional[str] = None):
     """The serving callable ``x (B, 1, L) f32 -> coords`` with weights
     closed over: model forward (bf16 by default) + the protocol decode
     in the checkpoint's own upsample units (reference main.py:291-321).
@@ -101,13 +206,13 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
                 pred = model.apply(variables, x)
                 return pred.reshape((pred.shape[0], -1)).astype(jnp.float32)
 
-            return pipe
+            return _wrap_input_enc(pipe, input_enc)
         zoo_up = int(updates.get("upsample_factor", up))
 
         def pipe(x):
             return decode(model.apply(variables, x), up=zoo_up)
 
-        return pipe
+        return _wrap_input_enc(pipe, input_enc)
 
     if int8_calib is not None:
         from stofnet_tpu.models.int8 import (quantize_stofnet,
@@ -126,7 +231,7 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
             return decode(stofnet_apply_int8(q, x, dtype=dtype,
                                              stack_layers=stack, **qkw))
 
-        return pipe
+        return _wrap_input_enc(pipe, input_enc)
 
     from stofnet_tpu.models import StofNet
 
@@ -135,7 +240,7 @@ def make_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     def pipe(x):
         return decode(model.apply(variables, x))
 
-    return pipe
+    return _wrap_input_enc(pipe, input_enc)
 
 
 def probe_dtype_agreement(variables: Dict[str, Any],
@@ -180,16 +285,22 @@ def export_pipeline(variables: Dict[str, Any], overrides: Dict[str, Any],
     be an int (one artifact per batch size) or a symbolic-dimension name
     such as ``"b"`` — then ONE artifact serves every batch size
     (jax.export shape polymorphism; decoded coords verified bit-exact vs
-    the direct pipeline at B=1/3/8, tests/test_serve.py)."""
+    the direct pipeline at B=1/3/8, tests/test_serve.py).
+
+    ``input_enc=`` (in ``pipe_kwargs``) exports an ENCODED-INPUT artifact
+    whose device signature is (codes[, scales]) instead of f32 waveforms
+    — ``load_pipeline`` detects the signature and encodes host-side, so
+    serving callers keep the ``f(x f32) → coords`` contract while the
+    host→device transfer ships the compact codes (the measured serving
+    ceiling, docs/SERVE_BATCHED_tpu.md)."""
     import jax
-    import jax.numpy as jnp
     from jax import export as jexport
 
     if isinstance(batch, str):
         batch = jexport.symbolic_shape(batch)[0]
+    specs = encoded_input_specs(pipe_kwargs.get("input_enc"), batch, length)
     pipe = make_pipeline(variables, overrides, **pipe_kwargs)
-    exp = jexport.export(jax.jit(pipe), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((batch, 1, length), jnp.float32))
+    exp = jexport.export(jax.jit(pipe), platforms=tuple(platforms))(*specs)
     return exp.serialize()
 
 
@@ -259,14 +370,15 @@ def export_pipeline_weightless(
     if isinstance(batch, str):
         batch = jexport.symbolic_shape(batch)[0]
     weights = _to_plain_dict(variables)
+    specs = encoded_input_specs(pipe_kwargs.get("input_enc"), batch, length)
 
-    def pipe_w(variables, x):
-        return make_pipeline(variables, overrides, **pipe_kwargs)(x)
+    def pipe_w(variables, *data):
+        return make_pipeline(variables, overrides, **pipe_kwargs)(*data)
 
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), weights)
     exp = jexport.export(jax.jit(pipe_w), platforms=tuple(platforms))(
-        var_specs, jax.ShapeDtypeStruct((batch, 1, length), jnp.float32))
+        var_specs, *specs)
     return exp.serialize(), weights
 
 
@@ -283,6 +395,26 @@ def save_pipeline(path: str | Path, blob: bytes,
     return path
 
 
+def _detect_input_enc(avals) -> Tuple[str, int]:
+    """Infer the artifact's ``input_enc`` from its trailing device input
+    avals (the artifact format carries no side metadata — the signature
+    IS the metadata): codes dtype int8 + a (b, 1, n) f32 scales aval →
+    ``s8c<n>``; int16 codes → ``s16``; a bf16 waveform → ``bf16``; plain
+    f32 → ``f32``. Returns (enc spelling, number of data avals)."""
+    import jax.numpy as jnp
+
+    if len(avals) >= 2:
+        codes, scales = avals[-2], avals[-1]
+        if codes.dtype == jnp.int8 and scales.dtype == jnp.float32:
+            return f"s8c{int(scales.shape[-1])}", 2
+        if codes.dtype == jnp.int16 and scales.dtype == jnp.float32 \
+                and int(scales.shape[-1]) == 1:
+            return "s16", 2
+    if avals[-1].dtype == jnp.bfloat16:
+        return "bf16", 1
+    return "f32", 1
+
+
 def load_pipeline(path: str | Path):
     """Deserialize an exported artifact; returns a callable
     ``f(x) -> coords`` (jit-compiles for the local backend on first call).
@@ -292,23 +424,43 @@ def load_pipeline(path: str | Path):
     ``export_pipeline_weightless``) is detected automatically and closed
     over — callers see the identical ``f(x) -> coords`` contract either
     way, and ``in_avals`` stays the waveform input alone (the serving
-    daemon reads the contract from it, cli/serve.py)."""
+    daemon reads the contract from it, cli/serve.py).
+
+    An ENCODED-INPUT artifact (``input_enc=`` export) is detected from
+    its device signature: the returned callable still takes f32
+    waveforms, encodes them host-side (numpy, ``make_input_encoder``) and
+    ships the codes — the host→device transfer is the measured serving
+    ceiling, and this is the lever that shrinks it. The encoding attrs
+    (``input_enc``, ``encode``, ``raw_call``, ``raw_in_avals``) are
+    exposed for mesh serving (cli/serve.py shards the codes)."""
     from jax import export as jexport
 
     exp = jexport.deserialize(Path(path).read_bytes())
     sidecar = Path(str(path) + ".weights.npz")
+    weights = None
     if sidecar.exists():
         with np.load(sidecar) as z:
             weights = _unflatten_tree({k: z[k] for k in z.files})
+    enc, n_data = _detect_input_enc(exp.in_avals)
+    encode = make_input_encoder(enc)
 
-        def call(x):
-            return exp.call(weights, x)
+    if weights is not None:
+        def raw_call(*data):
+            return exp.call(weights, *data)
+    else:
+        def raw_call(*data):
+            return exp.call(*data)
 
-        call.in_avals = (exp.in_avals[-1],)
+    if enc == "f32":
+        call = raw_call  # pass-through: no host round-trip for device args
     else:
         def call(x):
-            return exp.call(x)
+            return raw_call(*encode(x))
 
-        call.in_avals = exp.in_avals
+    call.in_avals = exp.in_avals[-n_data:][:1]
     call.platforms = exp.platforms
+    call.input_enc = enc
+    call.encode = encode
+    call.raw_call = raw_call
+    call.raw_in_avals = exp.in_avals[-n_data:]
     return call

@@ -5,7 +5,7 @@ wire). A stdlib-only length-prefixed binary protocol — deliberately
 boring, so any language can speak it without a codegen step:
 
 request  : magic ``b"SFN1"`` + ``<II`` (k, L) + k*L float32 (LE)
-request 2: magic ``b"SFN2"`` + ``<BBII`` (wire, reserved, k, L) + payload
+request 2: magic ``b"SFN2"`` + ``<BBII`` (wire, param, k, L) + payload
            wire 0: k*L float32 (same rows as SFN1)
            wire 1: k*L bfloat16 (the round-to-nearest-even top 16 bits
                    of each float32, LE uint16) — HALF the request bytes;
@@ -15,6 +15,14 @@ request 2: magic ``b"SFN2"`` + ``<BBII`` (wire, reserved, k, L) + payload
                    scale * q, scale = max|row|/127) — a QUARTER of the
                    request bytes; mirrors the int8-SGB path's own dynamic
                    per-waveform activation quantization (models/int8.py)
+           wire 3: per waveform: 1 float32 scale + L int16 (scale =
+                   max|row|/32767) — half the bytes at 256× finer codes
+                   than wire 2 (serving/codecs.py encode_s16)
+           wire 4: per waveform: n float32 per-CHUNK scales + L int8,
+                   n = the header's ``param`` byte (1..255, must divide
+                   L) — the measured ≥0.99 fix for wire 2's coarse
+                   loudest-echo scale (serving/codecs.py encode_s8c)
+           The ``param`` byte is 0 for wires 0-3.
 response : ``<iI``  (status, m)
            status 0: m = E (coords per waveform), then k*E float32
            status 1: m = byte length of a UTF-8 error message, then it
@@ -63,11 +71,30 @@ _RSP_HDR = struct.Struct("<iI")
 # attempt a multi-GB read (128 Mi samples = 512 MB payload)
 _MAX_SAMPLES = 128 * 1024 * 1024
 
-WIRE_F32, WIRE_BF16, WIRE_INT8 = 0, 1, 2
-WIRE_CODES = {"f32": WIRE_F32, "bf16": WIRE_BF16, "int8": WIRE_INT8}
+WIRE_F32, WIRE_BF16, WIRE_INT8, WIRE_INT16, WIRE_INT8C = 0, 1, 2, 3, 4
+# "s8c<n>" (e.g. "s8c16") selects wire 4 with n chunks; bare "s8c" uses
+# DEFAULT_CHUNKS (the scripts/input_enc_sweep.py-measured recommendation)
+WIRE_CODES = {"f32": WIRE_F32, "bf16": WIRE_BF16, "int8": WIRE_INT8,
+              "int16": WIRE_INT16, "s16": WIRE_INT16}
+DEFAULT_CHUNKS = 16
+_KNOWN_WIRES = (WIRE_F32, WIRE_BF16, WIRE_INT8, WIRE_INT16, WIRE_INT8C)
 
 
-def payload_nbytes(wire: int, k: int, length: int) -> int:
+def parse_wire(wire: str) -> Tuple[int, int]:
+    """Wire name → (wire code, param byte). ``param`` is the chunk count
+    for ``s8c<n>`` and 0 otherwise."""
+    if wire in WIRE_CODES:
+        return WIRE_CODES[wire], 0
+    if wire == "s8c" or (wire.startswith("s8c") and wire[3:].isdigit()):
+        n = int(wire[3:]) if wire[3:] else DEFAULT_CHUNKS
+        if not 1 <= n <= 255:
+            raise ValueError(f"s8c chunk count must be 1..255, got {n}")
+        return WIRE_INT8C, n
+    raise ValueError(f"wire must be one of {sorted(WIRE_CODES)} or "
+                     f"'s8c<n>', got {wire!r}")
+
+
+def payload_nbytes(wire: int, k: int, length: int, param: int = 0) -> int:
     """Request payload size in bytes for ``wire`` (see module docstring)."""
     if wire == WIRE_F32:
         return 4 * k * length
@@ -75,10 +102,14 @@ def payload_nbytes(wire: int, k: int, length: int) -> int:
         return 2 * k * length
     if wire == WIRE_INT8:
         return k * (4 + length)
+    if wire == WIRE_INT16:
+        return k * (4 + 2 * length)
+    if wire == WIRE_INT8C:
+        return k * (4 * param + length)
     raise ValueError(f"unknown wire code {wire}")
 
 
-def encode_rows(rows: np.ndarray, wire: int) -> bytes:
+def encode_rows(rows: np.ndarray, wire: int, param: int = 0) -> bytes:
     """(k, L) float32 rows → request payload bytes for ``wire``."""
     rows = np.ascontiguousarray(rows, "<f4")
     if wire == WIRE_F32:
@@ -100,11 +131,29 @@ def encode_rows(rows: np.ndarray, wire: int) -> bytes:
         buf[:, :4] = scale.view(np.uint8).reshape(k, 4)
         buf[:, 4:] = q.view(np.uint8)
         return buf.tobytes()
+    if wire == WIRE_INT16:
+        from stofnet_tpu.serving.codecs import encode_s16
+
+        k, length = rows.shape
+        codes, scales = encode_s16(rows)
+        buf = np.empty((k, 4 + 2 * length), np.uint8)
+        buf[:, :4] = scales.view(np.uint8).reshape(k, 4)
+        buf[:, 4:] = codes.view(np.uint8)
+        return buf.tobytes()
+    if wire == WIRE_INT8C:
+        from stofnet_tpu.serving.codecs import encode_s8c
+
+        k, length = rows.shape
+        codes, scales = encode_s8c(rows, param)
+        buf = np.empty((k, 4 * param + length), np.uint8)
+        buf[:, :4 * param] = scales.view(np.uint8).reshape(k, 4 * param)
+        buf[:, 4 * param:] = codes.view(np.uint8)
+        return buf.tobytes()
     raise ValueError(f"unknown wire code {wire}")
 
 
-def decode_payload(payload: bytes, wire: int, k: int, length: int
-                   ) -> np.ndarray:
+def decode_payload(payload: bytes, wire: int, k: int, length: int,
+                   param: int = 0) -> np.ndarray:
     """Request payload bytes → (k, 1, L) float32 waveforms."""
     if wire == WIRE_F32:
         x = np.frombuffer(payload, "<f4")
@@ -115,6 +164,20 @@ def decode_payload(payload: bytes, wire: int, k: int, length: int
         buf = np.frombuffer(payload, np.uint8).reshape(k, 4 + length)
         scale = buf[:, :4].copy().view("<f4")
         x = buf[:, 4:].view(np.int8).astype("<f4") * scale
+    elif wire == WIRE_INT16:
+        from stofnet_tpu.serving.codecs import decode_s16
+
+        buf = np.frombuffer(payload, np.uint8).reshape(k, 4 + 2 * length)
+        scales = buf[:, :4].copy().view("<f4")[:, 0]
+        codes = buf[:, 4:].copy().view("<i2")
+        x = decode_s16(codes, scales)
+    elif wire == WIRE_INT8C:
+        from stofnet_tpu.serving.codecs import decode_s8c
+
+        buf = np.frombuffer(payload, np.uint8).reshape(k, 4 * param + length)
+        scales = buf[:, :4 * param].copy().view("<f4")
+        codes = buf[:, 4 * param:].view(np.int8)
+        x = decode_s8c(codes, scales)
     else:
         raise ValueError(f"unknown wire code {wire}")
     return x.reshape(k, 1, length)
@@ -148,15 +211,19 @@ class _Handler(socketserver.StreamRequestHandler):
                 head = _recv_exact(self.rfile, _REQ2_HDR.size)
                 if head is None:
                     raise ConnectionError("EOF inside request header")
-                wire, _reserved, k, length = _REQ2_HDR.unpack(head)
-                if wire not in (WIRE_F32, WIRE_BF16, WIRE_INT8):
+                wire, param, k, length = _REQ2_HDR.unpack(head)
+                if wire not in _KNOWN_WIRES:
                     self._send_error(f"unknown wire code {wire}")
+                    return  # payload length unknown; framing is lost
+                if wire == WIRE_INT8C and param < 1:
+                    self._send_error("s8c wire needs a chunk count in the "
+                                     "param byte")
                     return  # payload length unknown; framing is lost
             elif magic == MAGIC:
                 head = _recv_exact(self.rfile, _REQ_HDR.size)
                 if head is None:
                     raise ConnectionError("EOF inside request header")
-                wire = WIRE_F32
+                wire, param = WIRE_F32, 0
                 k, length = _REQ_HDR.unpack(head)
             else:
                 self._send_error(f"bad magic {magic!r}")
@@ -164,10 +231,18 @@ class _Handler(socketserver.StreamRequestHandler):
             if not (1 <= k * length <= _MAX_SAMPLES):
                 self._send_error(f"refusing request of {k}x{length} samples")
                 return
-            payload = _recv_exact(self.rfile, payload_nbytes(wire, k, length))
+            payload = _recv_exact(self.rfile,
+                                  payload_nbytes(wire, k, length, param))
             if payload is None:
                 raise ConnectionError("EOF inside request payload")
-            x = decode_payload(payload, wire, k, length)
+            try:
+                x = decode_payload(payload, wire, k, length, param)
+            except ValueError as e:
+                # e.g. an s8c chunk count that does not divide L — the
+                # payload was fully read, so framing is intact: report
+                # in-band and keep the connection serving
+                self._send_error(f"{type(e).__name__}: {e}")
+                continue
             try:
                 out = np.asarray(self.server.host.infer(x), "<f4")
             except Exception as e:  # noqa: BLE001 — report, keep serving
@@ -209,16 +284,16 @@ class ServingClient:
 
     ``wire``: request payload encoding — ``"f32"`` (default; speaks the
     original SFN1 frame bit-for-bit), ``"bf16"`` (half the request bytes;
-    lossless for bf16-forward artifacts), or ``"int8"`` (a quarter;
-    per-waveform scaled — validate decode agreement on YOUR data before
-    shipping, same gate as any quantization). Responses are always f32."""
+    lossless for bf16-forward artifacts), ``"int16"``/``"s16"`` (half,
+    256× finer codes than int8), ``"s8c"``/``"s8c<n>"`` (a quarter;
+    per-chunk scales, n must divide L — the recommended compact wire,
+    measured ≥0.99, docs/SERVING.md), or ``"int8"`` (a quarter;
+    per-waveform scaled — measured 0.9795, kept as the documented
+    experiment). Responses are always f32."""
 
     def __init__(self, address: Tuple[str, int], timeout: float = 120.0,
                  wire: str = "f32"):
-        if wire not in WIRE_CODES:
-            raise ValueError(f"wire must be one of {sorted(WIRE_CODES)}, "
-                             f"got {wire!r}")
-        self._wire = WIRE_CODES[wire]
+        self._wire, self._param = parse_wire(wire)
         self._sock = socket.create_connection(address, timeout=timeout)
         self._f = self._sock.makefile("rwb")
 
@@ -233,8 +308,9 @@ class ServingClient:
             # client of the SFN1 protocol stays valid
             self._f.write(MAGIC + _REQ_HDR.pack(k, length) + rows.tobytes())
         else:
-            self._f.write(MAGIC2 + _REQ2_HDR.pack(self._wire, 0, k, length)
-                          + encode_rows(rows, self._wire))
+            self._f.write(MAGIC2
+                          + _REQ2_HDR.pack(self._wire, self._param, k, length)
+                          + encode_rows(rows, self._wire, self._param))
         self._f.flush()
         head = _recv_exact(self._f, _RSP_HDR.size)
         if head is None:

@@ -441,12 +441,15 @@ def test_c_client_speaks_the_protocol(live_pipeline, tmp_path):
             # FE_TONEAREST mode == np.rint), so the decoded coords equal
             # the pipeline on the python round-tripped payload
             from stofnet_tpu.serving import decode_payload, encode_rows
-            from stofnet_tpu.serving.tcp import WIRE_INT8
+            from stofnet_tpu.serving.tcp import WIRE_INT8, WIRE_INT16
 
             for wire_name, wire_want in (
                     ("bf16", want),
                     ("int8", np.asarray(live_pipeline(decode_payload(
                         encode_rows(x[None], WIRE_INT8), WIRE_INT8, 1,
+                        LENGTH)))[0]),
+                    ("s16", np.asarray(live_pipeline(decode_payload(
+                        encode_rows(x[None], WIRE_INT16), WIRE_INT16, 1,
                         LENGTH)))[0])):
                 p = subprocess.run(
                     [str(exe), "127.0.0.1", str(port), str(LENGTH),
