@@ -16,6 +16,13 @@ Where do the ~46 ms/step (r2 `bench.py --train`) go? Rows:
   train_f32        the reference-parity f32 recipe (amp=False)
   train_amp        bf16 compute / f32 master recipe (amp=True)
   train_amp_nosgb  amp + semi_global_scale=1 (is amp's win SGB-bound?)
+  train_fused      full step through the Pallas fused-SGB custom VJP
+                   (sgb_contract_pool_trainable — the B=512+ memory
+                   unblock, bench --oom-demo): does never materializing
+                   the (B, L, 512) pre-pool plane ALSO win time at
+                   B=128, or does the ~12-23 GB/s kernel input cap
+                   (CLAUDE.md) keep it a memory-only tool? (r5: the
+                   train-MFU attack row, VERDICT r4 #6)
 
 All bodies consume per-iteration staged batches (CLAUDE.md TIMING TRAP).
 Run on the real chip: ``python scripts/profile_train.py``.
@@ -191,6 +198,50 @@ def main():
         except Exception as e:  # noqa: BLE001
             results[name] = f"{type(e).__name__}: {str(e)[:80]}"
             log(f"{name}: FAILED {results[name]}")
+
+    # the fused-SGB custom-VJP step (the oom-demo's B=512+ training
+    # unblock) timed at the B=128 operating point — params-only state
+    # like bench.oom_train_demo's fused_step; measured as the r5 attack
+    # on the largest training residual (the ~20 ms SGB train cost)
+    try:
+        import optax
+
+        from stofnet_tpu.models.fused import stofnet_apply_fused
+        from stofnet_tpu.train.loss import heatmap_loss as hm_loss
+
+        def fused_loss(params, frame, gtr):
+            pred = stofnet_apply_fused({"params": params}, frame,
+                                       dtype=jnp.bfloat16, trainable=True)
+            loss, _ = hm_loss(pred, gtr, kernel=gk,
+                              mask_amplitude=cfg.mask_amplitude,
+                              lambda_value=cfg.lambda_value)
+            return loss
+
+        opt_state0 = optimizer.init(variables["params"])
+
+        class _FusedState:
+            def __init__(self, params, opt_state):
+                self.params, self.opt_state = params, opt_state
+
+        def fused_step(state, xb, g, gtr):
+            loss, grads = jax.value_and_grad(fused_loss)(state.params, xb,
+                                                         gtr)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            return (_FusedState(optax.apply_updates(state.params, updates),
+                                opt_state), {"loss": loss})
+
+        jax.tree_util.register_pytree_node(
+            _FusedState,
+            lambda s: ((s.params, s.opt_state), None),
+            lambda _, c: _FusedState(*c))
+        ms = timed_steps(fused_step, _FusedState(variables["params"],
+                                                 opt_state0))
+        results["train_fused"] = round(ms, 2)
+        log(f"train_fused : {ms:.2f} ms/step -> {B / ms * 1e3:.0f} wf/s")
+    except Exception as e:  # noqa: BLE001
+        results["train_fused"] = f"{type(e).__name__}: {str(e)[:80]}"
+        log(f"train_fused FAILED {results['train_fused']}")
 
     print(json.dumps({"metric": "profile_train_b128", **results}))
 

@@ -56,9 +56,11 @@ SMOKE = "--smoke" in sys.argv
 TAG = "smoke" if SMOKE else "tpu"
 PORT = 17739 if SMOKE else 17738
 L = 8000
-K = 128           # waveforms per request = one full bucket
+# smoke: the CPU lowering of the int8 pipeline takes minutes per
+# (128, L) call — a small bucket keeps the plumbing check honest and fast
+K = 8 if SMOKE else 128   # waveforms per request = one full bucket
 CLIENTS = 4
-SECONDS = 4 if SMOKE else 40
+SECONDS = 2 if SMOKE else 40
 CLAIM_SLEEP = 0 if SMOKE else 120  # post-process claim wedge (CLAUDE.md)
 
 # (daemon label, export input_enc, [(wire, gated?)...]); agreement gates:
@@ -119,7 +121,7 @@ def main():
         # the explicit warm request below compiles it
         daemon = subprocess.Popen(
             [sys.executable, "-m", "stofnet_tpu.cli.serve",
-             f"artifact={arts[label]}", f"port={PORT}", "max_batch=128",
+             f"artifact={arts[label]}", f"port={PORT}", f"max_batch={K}",
              "warmup=False"],
             env=env_tpu, cwd="/root/repo", stderr=subprocess.PIPE,
             text=True)
