@@ -63,7 +63,6 @@ def export_artifacts():
     from jax import export as jexport
 
     from stofnet_tpu.cli.export import resolve_zoo_variables_and_overrides
-    from stofnet_tpu.ops.peaks import nms1d
     from stofnet_tpu.models.registry import build_model
     from stofnet_tpu.serve import export_pipeline, save_pipeline
 
@@ -80,11 +79,14 @@ def export_artifacts():
         k: v for k, v in overrides.items()
         if k in ("dataset_kind", "upsample_factor", "rf_scale_factor")})
 
+    # RAW heatmap (no NMS): the platform-delta metric must be computed
+    # on the model output itself — NMS zeroes non-maxima, so a one-bin
+    # peak shift would read as a ~100% "delta" and say nothing
     def heat(x):
         h = model.apply(variables, x).astype(jnp.float32)
         if h.ndim == 3:
             h = h.squeeze(1)
-        return nms1d(h, WINDOW)
+        return h
 
     exp = jexport.export(
         jax.jit(heat),
@@ -103,7 +105,7 @@ def main():
     x = np.asarray(make_gate_batch(B, L, rng), np.float32)
     np.save(f"/tmp/espcn_x_{TAG}.npy", x)
 
-    # CPU reference: coords + NMS'd heatmap
+    # CPU reference: coords + raw heatmap
     pipe = load_pipeline(ART)
     coords_cpu = np.asarray(pipe(x))
     from jax import export as jexport
@@ -141,13 +143,18 @@ def main():
     log(f"plain coord agreement {agreement:.4f}; "
         f"{len(flipped_rows)}/{coords_cpu.shape[0]} rows carry flips")
 
-    # per-row platform noise and decode margin (both relative to the
-    # row's top value so rows are comparable)
+    # per-row platform noise (on the RAW heatmap) and decode margin (on
+    # the NMS'd scores the decode actually ranks), both relative to the
+    # row's top value so rows are comparable
+    import jax.numpy as jnp
+
+    from stofnet_tpu.ops.peaks import nms1d
+
     top = np.max(heat_cpu, axis=-1)
     delta = np.max(np.abs(heat_tpu - heat_cpu), axis=-1) / np.maximum(
         top, 1e-30)
-    # top-2 margin over the NMS'd heatmap = the knife-edge width
-    part = np.partition(heat_cpu, -2, axis=-1)
+    sup = np.asarray(nms1d(jnp.asarray(heat_cpu), WINDOW))
+    part = np.partition(sup, -2, axis=-1)
     margin = (part[:, -1] - part[:, -2]) / np.maximum(top, 1e-30)
     log(f"platform heat delta: median {np.median(delta):.3e}, "
         f"max {np.max(delta):.3e}")
@@ -176,7 +183,7 @@ def main():
             "# espcn 0.9844 diagnosis — knife-edge ties vs real deltas",
             "",
             f"{time.strftime('%Y-%m-%d')}: vital-puddle ESPCN f32 artifact "
-            f"(the auto-gate's fallback) + a raw-NMS-heatmap artifact run "
+            f"(the auto-gate's fallback) + a raw-heatmap artifact run "
             f"on the chip over B={B} echo-bearing waveforms; every "
             f"disagreeing row is attributed by comparing the CPU decode's "
             f"top-2 margin against the measured per-row platform heatmap "

@@ -616,3 +616,65 @@ def test_serve_compile_cache_persists_bucket_compiles(small_ckpt, tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev)
     entries = [f for _, _, fs in os.walk(cache_dir) for f in fs]
     assert entries, "warmup wrote no persistent-cache entries"
+
+
+def test_espcn_f32_decode_is_knife_edge_on_saturation_ties(tmp_path):
+    """Pin the MECHANISM behind espcn's sub-0.99 hardware agreement
+    (docs/ESPCN_DIAG_tpu.md, VERDICT r4 #5): vital-puddle ESPCN's
+    sigmoid saturates to EXACT ties at the top of the f32 heatmap on
+    in-distribution echoes, so the th=Null per-row-max decode
+    (ops/peaks.threshold_scores falsy mode, reference
+    utils/mask2samples.py:19-22) is an index-order lottery — ANY
+    platform-level ulp difference may flip it, with no numeric fault.
+
+    Two assertions, both CPU-deterministic:
+    1. exact top-2 ties exist (margin == 0 on a nontrivial fraction of
+       rows) — the ill-posedness is in the model output itself;
+    2. a 1-ulp-scale input perturbation only ever flips rows whose
+       unperturbed top-2 margin is knife-edge thin — well-separated
+       rows decode identically, i.e. disagreement measures tie-breaking,
+       not localization error.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stofnet_tpu.cli.export import resolve_zoo_variables_and_overrides
+    from stofnet_tpu.data.synthetic import gate_batch
+    from stofnet_tpu.models.registry import build_model
+    from stofnet_tpu.ops.peaks import nms1d
+
+    args = {"model_file": "vital-puddle",
+            "ckpt_dir": "/root/reference/ckpts", "dataset_kind": "chirp"}
+    variables, overrides = resolve_zoo_variables_and_overrides(args, "espcn")
+    model, _ = build_model("espcn", dtype=jnp.float32, **{
+        k: v for k, v in overrides.items()
+        if k in ("dataset_kind", "upsample_factor", "rf_scale_factor")})
+    pipe = jax.jit(make_pipeline(variables, overrides, model_name="espcn",
+                                 dtype=jnp.float32, threshold=None,
+                                 max_echoes=8, window_size=20))
+
+    B, L = 12, 8000
+    x = np.asarray(gate_batch(B, L, np.random.default_rng(3008)),
+                   np.float32)
+    heat = np.asarray(jax.jit(lambda x: model.apply(
+        variables, x).astype(jnp.float32).squeeze(1))(jnp.asarray(x)))
+    sup = np.asarray(nms1d(jnp.asarray(heat), 20))
+    part = np.partition(sup, -2, axis=-1)
+    top = np.maximum(np.max(heat, axis=-1), 1e-30)
+    margin = (part[:, -1] - part[:, -2]) / top
+
+    # 1. exact saturation ties exist in f32 (the measured bf16 trap's
+    #    f32 shadow): at least one row with margin EXACTLY zero
+    assert np.min(margin) == 0.0, (
+        f"expected exact top-2 ties in the f32 heatmap, margins {margin}")
+
+    # 2. knife-edge-only flips: perturb the input by ~1 ulp relative
+    coords = np.asarray(pipe(jnp.asarray(x)))
+    coords_p = np.asarray(pipe(jnp.asarray(x * (1.0 + 1e-7))))
+    flipped = np.unique(np.nonzero(
+        np.abs(coords - coords_p) > 1.0)[0]) // 1  # rows with any flip
+    for r in np.asarray(flipped):
+        assert margin[r] < 1e-5, (
+            f"row {r} flipped under a 1-ulp perturbation but its top-2 "
+            f"margin {margin[r]:.3e} is NOT knife-edge — a real "
+            f"sensitivity, investigate")
