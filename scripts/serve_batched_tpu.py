@@ -246,7 +246,7 @@ def main():
                 lines.append(
                     f"| {label} | {wire} | {wire_mb(wire):.2f} MB | "
                     f"{results[k]:.1f} wf/s | "
-                    f"{results[k] / base:+.1%} | {agreement[k]:.4f}"
+                    f"{results[k] / base - 1:+.1%} | {agreement[k]:.4f}"
                     + (" (experiment)" if gate == 0.9 else "") + " |")
         lines += [
             "",
