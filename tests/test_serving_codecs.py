@@ -332,3 +332,46 @@ def test_new_wires_over_tcp():
         finally:
             server.shutdown()
             server.server_close()
+
+
+def test_codec_wire_fuzz():
+    """Property fuzz across random shapes/magnitudes (finite data — the
+    wire contract): every wire's encode→decode round trip stays within
+    its scheme's error bound, payload sizes match payload_nbytes, and
+    the codecs' decode is bit-identical to the wire's."""
+    rng = np.random.default_rng(20260820)
+    for trial in range(60):
+        k = int(rng.integers(1, 9))
+        n = int(rng.integers(1, 17))
+        c = int(rng.integers(1, 65))
+        length = n * c
+        rows = (rng.standard_normal((k, length)) *
+                10.0 ** rng.integers(-6, 7, (k, 1))).astype(np.float32)
+        if trial % 3 == 0:
+            rows[rng.integers(0, k)] = 0.0
+        for wire_name in ("f32", "bf16", "int8", "int16", f"s8c{n}"):
+            w, p = parse_wire(wire_name)
+            payload = encode_rows(rows, w, p)
+            assert len(payload) == payload_nbytes(w, k, length, p)
+            back = decode_payload(payload, w, k, length, p)[:, 0]
+            assert back.dtype == np.float32 and back.shape == rows.shape
+            if wire_name == "f32":
+                np.testing.assert_array_equal(back, rows)
+            elif wire_name == "bf16":
+                import jax.numpy as jnp
+
+                np.testing.assert_array_equal(
+                    back, np.asarray(jnp.asarray(rows).astype(jnp.bfloat16),
+                                     np.float32))
+            elif wire_name in ("int8", "int16"):
+                top = 127.0 if wire_name == "int8" else 32767.0
+                step = np.max(np.abs(rows), axis=-1, keepdims=True) / top
+                assert np.all(np.abs(back - rows) <= step / 2
+                              + 1e-6 * np.abs(rows) + 1e-30)
+            else:
+                amax = np.max(np.abs(rows.reshape(k, n, c)), -1,
+                              keepdims=True)
+                bound = np.broadcast_to(amax / 127.0, (k, n, c)).reshape(
+                    rows.shape)
+                assert np.all(np.abs(back - rows) <= bound / 2
+                              + 1e-6 * np.abs(rows) + 1e-30)
