@@ -375,3 +375,29 @@ def test_codec_wire_fuzz():
                     rows.shape)
                 assert np.all(np.abs(back - rows) <= bound / 2
                               + 1e-6 * np.abs(rows) + 1e-30)
+
+
+def test_zoo_family_encoded_export(tmp_path):
+    """input_enc composes with the zoo's model= switch too (the wrap
+    sits outside the family branch in make_pipeline): an EDSR artifact
+    with an s16 device signature equals the s16 live pipeline."""
+    import flax.linen  # noqa: F401 — ensure flax present before registry
+    from stofnet_tpu.models.registry import build_model
+
+    model, _ = build_model("edsr", upsample_factor=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 256)))
+    overrides = {"dataset_kind": "chirp", "upsample_factor": 4,
+                 "rf_scale_factor": 10}
+    blob = export_pipeline(variables, overrides, batch=2, length=256,
+                           model_name="edsr", max_echoes=4,
+                           input_enc="s16")
+    p = save_pipeline(tmp_path / "edsr_s16.jaxexp", blob)
+    served = load_pipeline(p)
+    assert served.input_enc == "s16"
+
+    live = jax.jit(make_pipeline(variables, overrides, model_name="edsr",
+                                 max_echoes=4, input_enc="s16"))
+    x = _rows(2, 256, seed=21)[:, None]
+    want = np.asarray(live(*[jnp.asarray(a)
+                             for a in make_input_encoder("s16")(x)]))
+    np.testing.assert_array_equal(np.asarray(served(x)), want)
