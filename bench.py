@@ -1033,14 +1033,18 @@ def train_bench() -> None:
             f"loss[0]={losses[0]:.4f} -> loss[-1]={losses[-1]:.4f}")
         return wf_s, best / k * 1e3
 
-    def step_flops(amp: bool):
+    def step_flops():
         """XLA cost analysis of ONE jitted train step (fwd + bwd + AdamW)
         — the training-side MFU honesty the inference headline already
         has (measure_mfu / docs/DESIGN.md). Analysis runs on the lowered
-        step itself, not the scan, so the FLOPs are per-step exactly."""
+        step itself, not the scan, so the FLOPs are per-step exactly.
+        ONE compile serves both recipes: the f32 and amp steps carry the
+        same op graph modulo dtype, and their cost analyses measured
+        equal to 0.04% (2982.3 vs 2981.2 GFLOP, 2026-08-20) — not worth
+        a second ~30 s relay compile (review finding r5)."""
         from stofnet_tpu.utils.profiling import flops_estimate
 
-        train_step = make_train_step(model, optimizer, cfg, amp=amp)
+        train_step = make_train_step(model, optimizer, cfg, amp=True)
         state = init_train_state(variables, optimizer, seed=0)
         return flops_estimate(train_step, state, xs[0], gt[0], gt_true[0])
 
@@ -1049,9 +1053,9 @@ def train_bench() -> None:
     wf_s, ms, recipe = ((amp_wf_s, amp_ms, "amp")
                         if amp_wf_s >= f32_wf_s else (f32_wf_s, f32_ms, "f32"))
     mfu = {}
-    for name, s_ms in (("f32", f32_ms), ("amp", amp_ms)):
-        fl = step_flops(amp=(name == "amp"))
-        if fl and np.isfinite(fl):
+    fl = step_flops()
+    if fl and np.isfinite(fl):
+        for name, s_ms in (("f32", f32_ms), ("amp", amp_ms)):
             # vs the bf16 systolic peak in BOTH recipes (the codebase
             # convention; the f32 recipe's convs run below that peak by
             # construction, which is part of what the number shows)

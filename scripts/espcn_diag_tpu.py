@@ -173,8 +173,6 @@ def main():
 
     # margin-aware agreement: a flip is accepted iff its row's tie is
     # inside the measured platform noise
-    ok_rows = np.ones(coords_cpu.shape[0], bool)
-    ok_rows[real] = False
     aware = float(np.mean(agree | (margin <= 2 * delta)[:, None]))
     verdict_ok = len(real) == 0 and aware >= 0.999
 

@@ -43,33 +43,30 @@ SEEDS = (11,)
 
 
 def encode(rows: np.ndarray, scheme: str) -> np.ndarray:
-    """(k, L) f32 -> dequantized f32 rows under the scheme (the exact
-    round trip both wire decode and an encoded-input artifact perform)."""
+    """(k, L) f32 -> dequantized f32 rows under the scheme — THROUGH the
+    SHIPPED codecs (serving/codecs.py / serving/tcp.py), so the measured
+    agreements cover exactly the code the wire and encoded-input
+    artifacts run (review finding r5; "s8" = the per-waveform wire-2
+    scheme = s8c with one chunk)."""
+    from stofnet_tpu.serving import decode_payload, encode_rows
+    from stofnet_tpu.serving.codecs import decode_s8c, decode_s16, \
+        encode_s8c, encode_s16
+    from stofnet_tpu.serving.tcp import WIRE_BF16, WIRE_INT8
+
+    k, length = rows.shape
     if scheme == "f32":
         return rows
     if scheme == "bf16":
-        u = rows.view("<u4")
-        h = ((u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
-             >> np.uint32(16)).astype("<u4")
-        return (h << np.uint32(16)).view("<f4")
+        return decode_payload(encode_rows(rows, WIRE_BF16), WIRE_BF16, k,
+                              length)[:, 0]
     if scheme == "s16":
-        amax = np.max(np.abs(rows), axis=-1, keepdims=True)
-        scale = np.where(amax > 0, amax / 32767.0, 1.0)
-        return np.clip(np.rint(rows / scale), -32767, 32767) * scale
+        return decode_s16(*encode_s16(rows))
     if scheme == "s8":
-        amax = np.max(np.abs(rows), axis=-1, keepdims=True)
-        scale = np.where(amax > 0, amax / 127.0, 1.0)
-        return np.clip(np.rint(rows / scale), -127, 127) * scale
+        # the r4 wire-2 scheme, bit-for-bit
+        return decode_payload(encode_rows(rows, WIRE_INT8), WIRE_INT8, k,
+                              length)[:, 0]
     if scheme.startswith("s8c"):
-        n = int(scheme[3:])
-        k, length = rows.shape
-        c = -(-length // n)
-        pad = n * c - length
-        r = np.pad(rows, ((0, 0), (0, pad))).reshape(k, n, c)
-        amax = np.max(np.abs(r), axis=-1, keepdims=True)
-        scale = np.where(amax > 0, amax / 127.0, 1.0)
-        out = np.clip(np.rint(r / scale), -127, 127) * scale
-        return out.reshape(k, n * c)[:, :length].astype("<f4")
+        return decode_s8c(*encode_s8c(rows, int(scheme[3:])))
     raise ValueError(scheme)
 
 

@@ -39,12 +39,10 @@ def parse_input_enc(enc: Optional[str]) -> Tuple[str, int]:
         return enc, 0
     if enc in ("s16", "int16"):
         return "s16", 0
-    if enc == "s8c" or (enc.startswith("s8c") and enc[3:].isdigit()):
-        from stofnet_tpu.serving.tcp import DEFAULT_CHUNKS
+    from stofnet_tpu.serving.codecs import parse_s8c
 
-        n = int(enc[3:]) if enc[3:] else DEFAULT_CHUNKS
-        if not 1 <= n <= 255:
-            raise ValueError(f"s8c chunk count must be 1..255, got {n}")
+    n = parse_s8c(enc)
+    if n is not None:
         return "s8c", n
     raise ValueError(f"input_enc must be f32|bf16|s16|s8c<n>, got {enc!r}")
 

@@ -39,9 +39,26 @@ tests/test_serving_codecs.py).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
+
+# the wire's default s8c chunk count (the bare "s8c" spelling)
+DEFAULT_CHUNKS = 16
+
+
+def parse_s8c(name: str) -> Optional[int]:
+    """``"s8c"``/``"s8c<n>"`` → chunk count (bare = DEFAULT_CHUNKS);
+    None when the spelling is not an s8c scheme. The ONE parse both the
+    TCP wire (tcp.parse_wire) and artifact input encodings
+    (serve.parse_input_enc) share, so their accepted spellings can
+    never drift apart."""
+    if name == "s8c" or (name.startswith("s8c") and name[3:].isdigit()):
+        n = int(name[3:]) if name[3:] else DEFAULT_CHUNKS
+        if not 1 <= n <= 255:
+            raise ValueError(f"s8c chunk count must be 1..255, got {n}")
+        return n
+    return None
 
 
 def encode_s16(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -59,6 +59,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from stofnet_tpu.serving.codecs import DEFAULT_CHUNKS, parse_s8c  # noqa: F401 (DEFAULT_CHUNKS re-exported)
 from stofnet_tpu.serving.host import ServingHost
 
 MAGIC = b"SFN1"
@@ -73,22 +74,20 @@ _MAX_SAMPLES = 128 * 1024 * 1024
 
 WIRE_F32, WIRE_BF16, WIRE_INT8, WIRE_INT16, WIRE_INT8C = 0, 1, 2, 3, 4
 # "s8c<n>" (e.g. "s8c16") selects wire 4 with n chunks; bare "s8c" uses
-# DEFAULT_CHUNKS (the scripts/input_enc_sweep.py-measured recommendation)
+# codecs.DEFAULT_CHUNKS (re-exported here for compatibility)
 WIRE_CODES = {"f32": WIRE_F32, "bf16": WIRE_BF16, "int8": WIRE_INT8,
               "int16": WIRE_INT16, "s16": WIRE_INT16}
-DEFAULT_CHUNKS = 16
 _KNOWN_WIRES = (WIRE_F32, WIRE_BF16, WIRE_INT8, WIRE_INT16, WIRE_INT8C)
 
 
 def parse_wire(wire: str) -> Tuple[int, int]:
     """Wire name → (wire code, param byte). ``param`` is the chunk count
-    for ``s8c<n>`` and 0 otherwise."""
+    for ``s8c<n>`` and 0 otherwise (one shared spelling parse with the
+    artifact encodings: codecs.parse_s8c)."""
     if wire in WIRE_CODES:
         return WIRE_CODES[wire], 0
-    if wire == "s8c" or (wire.startswith("s8c") and wire[3:].isdigit()):
-        n = int(wire[3:]) if wire[3:] else DEFAULT_CHUNKS
-        if not 1 <= n <= 255:
-            raise ValueError(f"s8c chunk count must be 1..255, got {n}")
+    n = parse_s8c(wire)
+    if n is not None:
         return WIRE_INT8C, n
     raise ValueError(f"wire must be one of {sorted(WIRE_CODES)} or "
                      f"'s8c<n>', got {wire!r}")
@@ -215,9 +214,18 @@ class _Handler(socketserver.StreamRequestHandler):
                 if wire not in _KNOWN_WIRES:
                     self._send_error(f"unknown wire code {wire}")
                     return  # payload length unknown; framing is lost
-                if wire == WIRE_INT8C and param < 1:
-                    self._send_error("s8c wire needs a chunk count in the "
-                                     "param byte")
+                if wire == WIRE_INT8C and (
+                        param < 1 or length % max(param, 1)):
+                    # reject BEFORE the payload read: an invalid chunk
+                    # count leaves the payload length meaningless, and
+                    # validating divisibility here also restores the
+                    # _MAX_SAMPLES byte bound (with param | length the
+                    # payload is <= 5*k*length bytes; an unchecked
+                    # param=255, length=1 header could otherwise demand
+                    # a ~137 GB buffered read)
+                    self._send_error("s8c wire needs a chunk count (param "
+                                     "byte) that divides the waveform "
+                                     "length")
                     return  # payload length unknown; framing is lost
             elif magic == MAGIC:
                 head = _recv_exact(self.rfile, _REQ_HDR.size)

@@ -672,7 +672,7 @@ def test_espcn_f32_decode_is_knife_edge_on_saturation_ties(tmp_path):
     coords = np.asarray(pipe(jnp.asarray(x)))
     coords_p = np.asarray(pipe(jnp.asarray(x * (1.0 + 1e-7))))
     flipped = np.unique(np.nonzero(
-        np.abs(coords - coords_p) > 1.0)[0]) // 1  # rows with any flip
+        np.abs(coords - coords_p) > 1.0)[0])  # rows with any flip
     for r in np.asarray(flipped):
         assert margin[r] < 1e-5, (
             f"row {r} flipped under a 1-ulp perturbation but its top-2 "

@@ -299,36 +299,31 @@ def test_new_wires_over_tcp():
                                       prm)[:, 0, :4]
                 np.testing.assert_array_equal(got, want)
 
-            # an s8c chunk count that does not divide L errors IN-BAND
-            # and the connection keeps serving (framing intact)
+            # an invalid s8c chunk count (0, or one that does not divide
+            # L) is rejected BEFORE the payload read — this also keeps
+            # the _MAX_SAMPLES byte bound (a hostile param could
+            # otherwise inflate payload_nbytes far past it). The
+            # connection drops after the in-band error (framing is
+            # unknowable without a trusted payload length).
+            for bad_param in (0, 7):
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=30.0) as s:
+                    s.sendall(b"SFN2" + struct.pack(
+                        "<BBII", WIRE_INT8C, bad_param, 1, LENGTH))
+                    status, m = struct.unpack(
+                        "<iI", s.recv(8, socket.MSG_WAITALL))
+                    assert status == 1
+                    assert b"chunk count" in s.recv(m, socket.MSG_WAITALL)
+
+            # a fresh connection still serves a valid s8c request
             with socket.create_connection(("127.0.0.1", port),
                                           timeout=30.0) as s:
-                w, prm = WIRE_INT8C, 7
-                payload = b"\x00" * payload_nbytes(w, 1, LENGTH, prm)
-                s.sendall(b"SFN2" + struct.pack("<BBII", w, prm, 1, LENGTH)
-                          + payload)
-                status, m = struct.unpack("<iI", s.recv(8,
-                                                        socket.MSG_WAITALL))
-                assert status == 1
-                assert b"must divide" in s.recv(m, socket.MSG_WAITALL)
-                # same connection still serves a valid request
                 w, prm = parse_wire("s8c8")
                 s.sendall(b"SFN2" + struct.pack("<BBII", w, prm, 1, LENGTH)
                           + encode_rows(x[:1], w, prm))
                 status, m = struct.unpack("<iI", s.recv(8,
                                                         socket.MSG_WAITALL))
                 assert status == 0 and m == 4
-
-            # s8c with param 0 is rejected before the payload (framing
-            # unknowable) — connection drops with an in-band error first
-            with socket.create_connection(("127.0.0.1", port),
-                                          timeout=30.0) as s:
-                s.sendall(b"SFN2" + struct.pack("<BBII", WIRE_INT8C, 0, 1,
-                                                LENGTH))
-                status, m = struct.unpack("<iI", s.recv(8,
-                                                        socket.MSG_WAITALL))
-                assert status == 1
-                assert b"chunk count" in s.recv(m, socket.MSG_WAITALL)
         finally:
             server.shutdown()
             server.server_close()
