@@ -57,7 +57,7 @@ def log(msg):
 
 def export_artifacts():
     """Coords artifact (the zoo serving contract, f32) + a heatmap
-    artifact (same forward, NMS'd scores out) — both cpu+tpu lowered."""
+    artifact (same forward, raw scores out) — both cpu+tpu lowered."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
