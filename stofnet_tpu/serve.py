@@ -31,7 +31,7 @@ import numpy as np
 def parse_input_enc(enc: Optional[str]) -> Tuple[str, int]:
     """``input_enc=`` spelling → (kind, n_chunks). Kinds: ``"f32"``
     (default), ``"bf16"``, ``"s16"`` (alias ``int16``), ``"s8c"`` with an
-    optional chunk count (``s8c16``; default serving/tcp.DEFAULT_CHUNKS).
+    optional chunk count (``s8c16``; default serving/codecs.DEFAULT_CHUNKS).
     The same spellings the TCP wire accepts, because they are the same
     schemes (serving/codecs.py)."""
     enc = "f32" if enc in (None, "") else str(enc)
