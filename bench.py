@@ -1120,6 +1120,30 @@ def scaling() -> None:
           "vs_baseline": 1.0, **curve}, "scaling")
 
 
+def _host_pipeline(pipe, variables, bf16_leg: bool):
+    """ServingHost-facing callable for --serve/--soak: numpy (B, 1, L)
+    in, coords out. With ``bf16_leg`` the batch ships to the device as
+    its RNE bf16 cast — bit-identical to what the bf16 pipeline's first
+    op computes from f32 input (so decode-lossless by construction) at
+    HALF the per-dispatch relay bytes (the host->device transfer is the
+    measured serving ceiling; docs/SERVE_BATCHED_tpu.md measured the
+    bf16 device leg at +50%/call on the encoded-input artifacts)."""
+    import jax.numpy as jnp
+
+    if not bf16_leg:
+        def pipeline(xb):
+            return pipe(variables, jnp.asarray(xb))
+
+        return pipeline
+    import ml_dtypes
+
+    def pipeline(xb):
+        xb16 = np.asarray(xb, np.float32).astype(ml_dtypes.bfloat16)
+        return pipe(variables, jnp.asarray(xb16))
+
+    return pipeline
+
+
 def serve_bench() -> None:
     """Serving-stack benchmark: the dynamic-batching host
     (stofnet_tpu/serving) under closed-loop single-waveform clients — the
@@ -1153,9 +1177,13 @@ def serve_bench() -> None:
     pipe = pipe_bf16 if agree >= 0.99 else pipe_f32
     log(f"bf16/f32 coord agreement: {agree:.4f} -> serving "
         f"{'bf16' if agree >= 0.99 else 'f32'}")
-
-    def pipeline(xb):  # host calls with np (B,1,L); fetch synchronizes
-        return pipe(variables, jnp.asarray(xb))
+    # host calls with np (B,1,L); fetch synchronizes. When bf16 ships,
+    # the host->device leg ships the RNE bf16 CAST of the batch — the
+    # identical cast the pipeline's first op performs, so it is lossless
+    # by construction, and it halves the per-dispatch relay transfer
+    # (measured +50%/call on the encoded-input artifacts,
+    # docs/SERVE_BATCHED_tpu.md)
+    pipeline = _host_pipeline(pipe, variables, bf16_leg=agree >= 0.99)
 
     host = ServingHost(pipeline, LENGTH, max_batch=BATCH, max_wait_ms=2.0)
     for b in host.stats()["bucket_counts"]:
@@ -1265,9 +1293,8 @@ def serve_soak() -> None:
     pipe = pipe_bf16 if agree >= 0.99 else pipe_f32
     log(f"bf16/f32 coord agreement: {agree:.4f} -> soaking "
         f"{'bf16' if agree >= 0.99 else 'f32'}")
-
-    def pipeline(xb):
-        return pipe(variables, jnp.asarray(xb))
+    # bf16 host->device leg when bf16 ships (lossless; see serve_bench)
+    pipeline = _host_pipeline(pipe, variables, bf16_leg=agree >= 0.99)
 
     host = ServingHost(pipeline, LENGTH, max_batch=BATCH, max_wait_ms=2.0)
     for b in host.stats()["bucket_counts"]:
